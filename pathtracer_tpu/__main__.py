@@ -1,0 +1,90 @@
+"""CLI driver: render a scene to PNG.
+
+Replaces the reference's argv-less ``main()`` -> ``renderToPng``
+(``main.cu:530-535``, ``main.cu:462-487``) with a real command line over the
+runtime config. Prints the same "Time Cost" wall-clock line plus Mrays/s.
+
+Usage:
+    python -m pathtracer_tpu [--scene triangle] [--width 800] [--spp 100] ...
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pathtracer_tpu",
+        description="TPU-native differentiable Monte Carlo path tracer")
+    p.add_argument("--scene", default="triangle",
+                   help="test | triangle | random | cornell | bunny")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--spp", type=int, default=100)
+    p.add_argument("--max-depth", type=int, default=50)
+    p.add_argument("--accel", default="bvh", choices=["bvh", "brute"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ray-chunk", type=int, default=16384)
+    p.add_argument("--no-sky", action="store_true",
+                   help="black background (emissive-lit scenes)")
+    p.add_argument("--terminate-black", action="store_true",
+                   help="depth-exhausted rays return black instead of the "
+                        "reference's sky*attenuation quirk")
+    p.add_argument("-o", "--output", default="debug.png",
+                   help="output PNG path (reference writes "
+                        "../output2/debug.png)")
+    p.add_argument("--interactive", action="store_true",
+                   help="progressive terminal viewer with WASD/QE camera")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Defer heavy imports so --help is instant.
+    import numpy as np
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.io.png import write_png
+    from pathtracer_tpu.render.renderer import render_image
+    from pathtracer_tpu.scene.worlds import get_world
+
+    try:
+        scene, cam = get_world(args.scene)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    sky = not args.no_sky
+    if args.scene == "cornell":
+        sky = False  # lit by the area light
+
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.max_depth, accel=args.accel,
+                       seed=args.seed, ray_chunk=args.ray_chunk, sky=sky,
+                       terminate_black=args.terminate_black,
+                       scene=args.scene)
+
+    if args.interactive:
+        from pathtracer_tpu.viewer.interactive import run_viewer
+        return run_viewer(scene, cam, cfg)
+
+    print(f"Rendering {args.scene}: {cfg.width}x{cfg.height}, "
+          f"{cfg.spp} spp, depth {cfg.max_depth}, accel={cfg.accel}")
+    print("Start rendering!")
+    start = time.perf_counter()
+    img = np.asarray(render_image(scene, cam, cfg))
+    duration = time.perf_counter() - start
+    # "Time Cost" print, matching main.cu:476; plus a throughput line.
+    print(f"Time Cost: {duration:.6g}")
+    rays = cfg.num_pixels * cfg.spp
+    print(f"Camera rays: {rays} ({rays / duration / 1e6:.2f} Mrays/s "
+          f"lower bound, excl. bounces)")
+    write_png(args.output, img)
+    print(f"Wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

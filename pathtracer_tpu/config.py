@@ -1,0 +1,80 @@
+"""Runtime configuration.
+
+Replaces the reference's compile-time knobs (reference
+``utils/global_variables.h:8-42`` and scene-selection macros
+``utils/macros.h:8-13`` consumed at ``main.cu:428-446``) with a real runtime
+config: a frozen dataclass usable as a jit-static argument, JSON round-trip,
+and a CLI (see ``pathtracer_tpu/__main__.py``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+# Reference defaults: utils/global_variables.h:24-31
+K_ASPECT_RATIO = 16.0 / 9.0
+K_FRAME_WIDTH = 800
+K_FRAME_HEIGHT = int(K_FRAME_WIDTH / K_ASPECT_RATIO)  # 450
+K_SPP = 100
+K_MAX_DEPTH = 50
+K_CAMERA_SPEED = 2.5  # utils/global_variables.h:36
+K_T_MIN = 1e-3        # shadow epsilon, main.cu:27
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (hashable -> usable as jit static arg)."""
+
+    width: int = K_FRAME_WIDTH
+    height: int = K_FRAME_HEIGHT
+    spp: int = K_SPP
+    max_depth: int = K_MAX_DEPTH
+    t_min: float = K_T_MIN
+
+    # Background: the reference's only light is the sky gradient
+    # (main.cu:34-36). Cornell-box style scenes use emissive area lights and a
+    # black background instead.
+    sky: bool = True
+
+    # Reference quirk (main.cu:26-36): rays that exhaust max_depth without a
+    # miss still return sky * attenuation. ``terminate_black=True`` switches
+    # to the physically-correct black termination.
+    terminate_black: bool = False
+
+    # Acceleration structure: "bvh" (LBVH threaded traversal) or "brute"
+    # (linear scan over primitives — the reference's own fallback,
+    # render_manager.h:71-84).
+    accel: str = "bvh"
+
+    # Wavefront execution shape: rays are processed in fixed-size chunks so
+    # HBM working-set stays bounded; samples are accumulated in passes.
+    ray_chunk: int = 16384
+    samples_per_pass: int = 1
+
+    # RNG seed for the stateless threefry keys (replaces curand seeding at
+    # main.cu:420-422).
+    seed: int = 0
+
+    # Scene name for the CLI (test / triangle / random / cornell / bunny).
+    scene: str = "triangle"
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("frame size must be positive")
+        if self.accel not in ("bvh", "brute"):
+            raise ValueError(f"unknown accel {self.accel!r}")
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "RenderConfig":
+        return RenderConfig(**json.loads(s))
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

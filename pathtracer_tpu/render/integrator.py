@@ -1,0 +1,116 @@
+"""Wavefront path integrator.
+
+The reference's per-thread bounce loop (``main.cu:21-37``) becomes a
+``lax.scan`` over bounce depth carrying a whole wavefront of rays — the
+megakernel-free design SURVEY §7 calls for. Per bounce: one closest-hit
+query (BVH or brute), one dense masked scatter, mask updates. Exit semantics
+replicate the reference exactly:
+
+- miss         -> sky(last direction) * attenuation   (main.cu:27-36)
+- absorbed     -> black                               (main.cu:30-31)
+- depth out    -> sky(last direction) * attenuation   (the reference quirk,
+                  main.cu:26-36; ``terminate_black`` flips this to black)
+- emissive hit -> accumulated emitted * attenuation (extension; no sky term)
+
+Visibility (which primitive a ray hits) is detached; the hit geometry and
+shading are differentiable — see ops/intersect.hit_records_from_prims.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import vec
+from pathtracer_tpu.ops import intersect
+from pathtracer_tpu.scene import materials
+from pathtracer_tpu.scene.scene import Scene
+
+SKY_WHITE = jnp.array([1.0, 1.0, 1.0], jnp.float32)
+SKY_BLUE = jnp.array([0.5, 0.7, 1.0], jnp.float32)
+
+
+def sky_color(direction):
+    """Vertical white->blue gradient on unit direction (main.cu:34-36)."""
+    unit = vec.normalize(direction)
+    t = 0.5 * (unit[..., 1] + 1.0)
+    return (1.0 - t)[..., None] * SKY_WHITE + t[..., None] * SKY_BLUE
+
+
+# Type of a closest-hit query: (o, d, t_min) -> (idx, valid)
+ClosestHitFn = Callable
+
+
+def make_brute_closest_hit(scene: Scene, t_min: float):
+    """Closest hit via linear scan (render_manager.h:71-84 equivalent)."""
+    def closest(o, d):
+        idx, _, valid = intersect.brute_force_closest(
+            scene, o, d, jnp.float32(t_min), intersect.BIG_T)
+        return idx, valid
+    return closest
+
+
+def trace(scene: Scene,
+          origin, direction, time,
+          key,
+          max_depth: int,
+          closest_hit_fn,
+          t_min: float = 1e-3,
+          sky: bool = True,
+          terminate_black: bool = False):
+    """Trace a wavefront of rays to radiance. Returns (N, 3).
+
+    ``closest_hit_fn(o, d) -> (prim_idx, valid)`` is the pluggable
+    acceleration structure (brute / BVH threaded / Pallas). Its discrete
+    output is detached; geometry is re-evaluated differentiably.
+    """
+    n_rays = origin.shape[0]
+
+    def bounce(carry, depth):
+        o, d, atten, alive, absorbed, emitted_acc = carry
+        bkey = jax.random.fold_in(key, depth)
+        uniforms = jax.random.uniform(bkey, (n_rays, 6), jnp.float32)
+
+        # Visibility query on detached geometry (discrete winner index).
+        idx, hit_valid = closest_hit_fn(jax.lax.stop_gradient(o),
+                                        jax.lax.stop_gradient(d))
+        rec = intersect.hit_records_from_prims(
+            scene, idx, o, d, jnp.float32(t_min), intersect.BIG_T, hit_valid)
+
+        sc = materials.scatter(scene, rec, d, uniforms)
+
+        active = alive & hit_valid
+        # emissive termination: add radiance, stop, no sky contribution
+        hit_emitter = active & sc.is_emissive
+        emitted_acc = emitted_acc + jnp.where(
+            hit_emitter[:, None], atten * sc.emitted, 0.0)
+        # metal absorbed -> black (main.cu:30-31)
+        newly_absorbed = active & ~sc.is_emissive & ~sc.ok
+        absorbed = absorbed | newly_absorbed | hit_emitter
+
+        step = active & sc.ok & ~sc.is_emissive
+        o = jnp.where(step[:, None], rec.p, o)
+        d = jnp.where(step[:, None], sc.direction, d)
+        atten = jnp.where(step[:, None], atten * sc.attenuation, atten)
+        # miss -> leave the loop, keep last direction for the sky lookup
+        alive = alive & hit_valid & step
+        return (o, d, atten, alive, absorbed, emitted_acc), None
+
+    atten0 = jnp.ones((n_rays, 3), jnp.float32)
+    alive0 = jnp.ones((n_rays,), bool)
+    absorbed0 = jnp.zeros((n_rays,), bool)
+    emitted0 = jnp.zeros((n_rays, 3), jnp.float32)
+    (o, d, atten, alive, absorbed, emitted_acc), _ = jax.lax.scan(
+        bounce, (origin, direction, atten0, alive0, absorbed0, emitted0),
+        jnp.arange(max_depth))
+
+    if sky:
+        background = sky_color(d)
+    else:
+        background = jnp.zeros((n_rays, 3), jnp.float32)
+
+    # Depth-exhausted rays are still 'alive': reference returns
+    # sky * attenuation for them too (main.cu:26-36) unless terminate_black.
+    dead = absorbed | (alive if terminate_black else jnp.zeros_like(absorbed))
+    return emitted_acc + jnp.where(dead[:, None], 0.0, atten * background)

@@ -1,0 +1,123 @@
+"""Top-level renderer: pixel grid -> rays -> integrator -> gamma'd image.
+
+Replaces the reference render megakernel driver (``main.cu:271-294`` +
+``renderToPng``, ``main.cu:462-487``). Execution shape is TPU-native:
+
+- the image is flattened to a ray wavefront and processed in fixed-size
+  chunks (``lax.map`` serializes chunks, bounding HBM working set),
+- the spp loop is a ``lax.fori_loop`` accumulating into a framebuffer —
+  one compilation, no per-sample relaunch,
+- RNG is stateless: sample s of pixel p at bounce b derives from
+  fold(seed, s, chunk, b) + array position (replaces curand state arrays,
+  main.cu:262-269).
+
+Pixel conventions match the reference: u = (col + xi)/W, v = (row + xi)/H
+with row 0 at the *bottom* of the image (the PNG writer flips rows,
+main.cu:477-483); writeback is gamma-2 ``sqrt(c/spp)`` (main.cu:290-293).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.core import camera as camera_mod
+from pathtracer_tpu.render import integrator
+from pathtracer_tpu.scene.scene import Scene
+
+
+def _pixel_grid(width: int, height: int):
+    """(row, col) float arrays for the flattened framebuffer, row-major with
+    curPixel = row * W + col (main.cu:275-280)."""
+    rows = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+    cols = jnp.tile(jnp.arange(width, dtype=jnp.float32), (height,))
+    return rows, cols
+
+
+def _make_closest(scene: Scene, bvh, t_min: float):
+    """Pick the closest-hit query: threaded-BVH traversal when a BVH is
+    provided, else the linear scan (render_manager.h:71-84 fallback)."""
+    if bvh is None:
+        return integrator.make_brute_closest_hit(scene, t_min)
+    from pathtracer_tpu.ops.traversal import make_bvh_closest_hit
+    return make_bvh_closest_hit(scene, bvh, t_min)
+
+
+def make_renderer(cfg: RenderConfig, with_bvh: bool):
+    """Build a jitted ``render(scene, bvh, camera, seed) -> (H, W, 3)``.
+
+    ``bvh`` must be None iff ``with_bvh`` is False (two cached variants).
+    """
+    n_pixels = cfg.num_pixels
+    chunk = min(cfg.ray_chunk, n_pixels)
+    n_chunks = -(-n_pixels // chunk)
+    n_padded = n_chunks * chunk
+
+    rows0, cols0 = _pixel_grid(cfg.width, cfg.height)
+    rows0 = jnp.pad(rows0, (0, n_padded - n_pixels)).reshape(n_chunks, chunk)
+    cols0 = jnp.pad(cols0, (0, n_padded - n_pixels)).reshape(n_chunks, chunk)
+    w_inv = 1.0 / cfg.width
+    h_inv = 1.0 / cfg.height
+
+    def render(scene: Scene, bvh, cam: camera_mod.Camera, seed) -> jnp.ndarray:
+        closest = _make_closest(scene, bvh, cfg.t_min)
+        base_key = jax.random.PRNGKey(seed)
+
+        def sample_pass(s, acc):
+            skey = jax.random.fold_in(base_key, s)
+
+            def render_chunk(args):
+                c_idx, row, col = args
+                ckey = jax.random.fold_in(skey, c_idx)
+                pkey, tkey, lkey1, lkey2 = jax.random.split(ckey, 4)
+                # pixel jitter (main.cu:284-285)
+                xi = jax.random.uniform(pkey, (2, chunk), jnp.float32)
+                u = (col + xi[0]) * w_inv
+                v = (row + xi[1]) * h_inv
+                u_disk = jax.random.uniform(lkey1, (2, chunk), jnp.float32)
+                u_time = jax.random.uniform(lkey2, (chunk,), jnp.float32)
+                o, d, t = camera_mod.get_rays(cam, u, v, u_disk[0], u_disk[1],
+                                              u_time)
+                return integrator.trace(
+                    scene, o, d, t, tkey, cfg.max_depth, closest,
+                    t_min=cfg.t_min, sky=cfg.sky,
+                    terminate_black=cfg.terminate_black)
+
+            chunk_ids = jnp.arange(n_chunks)
+            radiance = jax.lax.map(render_chunk, (chunk_ids, rows0, cols0))
+            return acc + radiance.reshape(n_padded, 3)
+
+        acc = jax.lax.fori_loop(
+            0, cfg.spp, sample_pass,
+            jnp.zeros((n_padded, 3), jnp.float32))
+        # gamma-2 writeback (main.cu:290-293)
+        img = jnp.sqrt(jnp.maximum(acc[:n_pixels], 0.0) / cfg.spp)
+        return img.reshape(cfg.height, cfg.width, 3)
+
+    return jax.jit(render)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_renderer(cfg: RenderConfig, with_bvh: bool):
+    return make_renderer(cfg, with_bvh)
+
+
+def render_image(scene: Scene, cam: camera_mod.Camera, cfg: RenderConfig,
+                 seed: Optional[int] = None, bvh=None) -> jnp.ndarray:
+    """Render with cfg.accel, returning (H, W, 3) f32 in scanline order
+    row 0 = bottom (flip at save, like main.cu:477-483).
+
+    When cfg.accel == "bvh" and no prebuilt ``bvh`` is passed, the LBVH is
+    built on device first (one-time per scene; reference builds at scene
+    upload, main.cu:194-195).
+    """
+    if cfg.accel == "bvh" and bvh is None:
+        from pathtracer_tpu.accel.lbvh import build_lbvh
+        bvh = build_lbvh(scene)
+    if cfg.accel != "bvh":
+        bvh = None
+    render = _cached_renderer(cfg, bvh is not None)
+    return render(scene, bvh, cam, cfg.seed if seed is None else seed)

@@ -1,0 +1,58 @@
+"""Cornell box scene from the reference's shipped (never-loaded) OBJ assets
+(``models/cornellbox/*.obj`` — floor, left, right, light, shortbox, tallbox;
+SURVEY §2.1 La row). Lit by the emissive area light; black background
+(BASELINE configs 1-2).
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from pathtracer_tpu.core.camera import Camera, make_camera
+from pathtracer_tpu.io.obj import load_obj
+from pathtracer_tpu.scene.scene import Scene, SceneBuilder
+
+CORNELL_DIR = os.environ.get(
+    "PT_CORNELL_DIR", "/root/reference/models/cornellbox")
+
+
+def cornell_box(obj_dir: str = CORNELL_DIR, aspect: float = 1.0,
+                variant: str = "full") -> Tuple[Scene, Camera]:
+    """Cornell box. ``variant``:
+
+    - "spheres": diffuse spheres instead of the boxes (BASELINE config 1),
+    - "full": boxes + a metal and a glass sphere (config 2 materials).
+    """
+    b = SceneBuilder()
+    white = b.add_lambertian((0.73, 0.73, 0.73))
+    red = b.add_lambertian((0.65, 0.05, 0.05))
+    green = b.add_lambertian((0.12, 0.45, 0.15))
+    light = b.add_emissive((15.0, 15.0, 15.0))
+
+    def add(name, mat):
+        verts, faces = load_obj(os.path.join(obj_dir, name + ".obj"))
+        b.add_mesh(verts, faces, mat)
+
+    add("floor", white)       # floor + ceiling + back wall (6 meshes file)
+    add("left", red)
+    add("right", green)
+    add("light", light)
+    if variant == "full":
+        add("shortbox", white)
+        add("tallbox", white)
+        metal = b.add_metal((0.8, 0.85, 0.88), 0.0)
+        b.add_sphere((400.0, 240.0, 190.0), 75.0, metal)
+        glass = b.add_dielectric(1.5)
+        b.add_sphere((160.0, 420.0, 360.0), 90.0, glass)
+    else:
+        s1 = b.add_lambertian((0.8, 0.3, 0.3))
+        s2 = b.add_lambertian((0.3, 0.3, 0.8))
+        b.add_sphere((185.0, 120.0, 169.0), 120.0, s1)
+        b.add_sphere((368.0, 90.0, 351.0), 90.0, s2)
+
+    # standard Cornell camera: at the open front face looking in (+z)
+    cam = make_camera((278, 273, -800), (278, 273, 0), 40, aspect,
+                      aperture=0, focus_dist=10, time0=0.0, time1=1.0)
+    return b.build(), cam

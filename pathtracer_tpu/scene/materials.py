@@ -1,0 +1,112 @@
+"""Branch-free material shading over a wavefront.
+
+The reference dispatches per-thread on a tagged-union ``Material::scatter``
+(``simulation/material.h:28-61``). Here all three lobes are evaluated densely
+for every ray and the result selected by the material-type mask — the
+deprecated/ virtual-dispatch -> tagged-union move taken one step further into
+pure data parallelism (SURVEY §2.1, deprecated/ row).
+
+Texture support wires up the reference's dangling ``mTexID`` field
+(material.h:64) and stub ``simulation/texture.h``: lambertian albedo is
+modulated by an image texture looked up at the hit UV when tex_id >= 0.
+
+Emissive materials are an extension (tag 8): the reference's only light is
+the sky; its shipped Cornell-box ``light.obj`` asset implies an emitter.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import optics, sampling, vec
+from pathtracer_tpu.core.rays import HitRecords
+from pathtracer_tpu.scene.scene import (MAT_DIELECTRIC, MAT_EMISSIVE,
+                                        MAT_LAMBERTIAN, MAT_METAL, Scene)
+
+
+class ScatterResult(NamedTuple):
+    direction: jnp.ndarray    # (N, 3) next ray direction
+    attenuation: jnp.ndarray  # (N, 3)
+    ok: jnp.ndarray           # (N,) bool — False = absorbed (metal, material.h:43)
+    emitted: jnp.ndarray      # (N, 3) radiance emitted at the hit
+    is_emissive: jnp.ndarray  # (N,) bool — path terminates at an emitter
+
+
+def sample_texture(scene: Scene, tex_id, uv):
+    """Nearest-neighbor image texture lookup at (u, v); v=0 is the bottom
+    row (sphere UV convention, cuda_object.h:94-102)."""
+    k, th, tw = (scene.textures.shape[0], scene.textures.shape[1],
+                 scene.textures.shape[2])
+    if k == 0:
+        return jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
+    u = jnp.clip(uv[..., 0], 0.0, 1.0 - 1e-6)
+    v = jnp.clip(uv[..., 1], 0.0, 1.0 - 1e-6)
+    x = (u * tw).astype(jnp.int32)
+    y = ((1.0 - v) * th).astype(jnp.int32)
+    tid = jnp.clip(tex_id, 0, k - 1)
+    flat = scene.textures.reshape(k * th * tw, 3)
+    return jnp.take(flat, (tid * th + y) * tw + x, axis=0)
+
+
+def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
+    """Evaluate all material lobes for a wavefront of hits.
+
+    ``uniforms`` is (N, 6) of U[0,1) draws: [0:2] sphere-surface sample
+    (lambertian), [2:5] in-sphere sample (metal fuzz), [5] the dielectric
+    reflect/refract coin. One ``jax.random.uniform`` call feeds the whole
+    bounce — the stateless replacement for per-thread curand draws.
+    """
+    mtype = jnp.take(scene.mat_type, rec.mat_id, axis=0)
+    albedo = jnp.take(scene.albedo, rec.mat_id, axis=0)
+    fuzz = jnp.take(scene.fuzz, rec.mat_id, axis=0)
+    ir = jnp.take(scene.ir, rec.mat_id, axis=0)
+    emit = jnp.take(scene.emit, rec.mat_id, axis=0)
+    tex_id = jnp.take(scene.tex_id, rec.mat_id, axis=0)
+
+    n = rec.normal
+
+    # --- lambertian (material.h:31-38): normal + on-sphere sample, with the
+    # near-zero fallback to the bare normal.
+    sphere_sample = sampling.uniform_on_sphere(uniforms[:, 0], uniforms[:, 1])
+    lamb_dir = n + sphere_sample
+    lamb_dir = jnp.where(vec.near_zero(lamb_dir)[:, None], n, lamb_dir)
+    lamb_albedo = albedo
+    if scene.textures.shape[0] > 0:
+        tex = sample_texture(scene, tex_id, rec.uv)
+        lamb_albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex, albedo)
+
+    # --- metal (material.h:39-44): reflect + fuzz * in-sphere; absorbed when
+    # the fuzzed direction points below the surface.
+    unit_in = vec.normalize(in_dir)
+    reflected = optics.reflect(unit_in, n)
+    fuzz_vec = sampling.uniform_in_sphere(uniforms[:, 2], uniforms[:, 3],
+                                          uniforms[:, 4])
+    metal_dir = reflected + fuzz[:, None] * fuzz_vec
+    metal_ok = vec.dot(metal_dir, n) > 0.0
+
+    # --- dielectric (material.h:45-58): Schlick-probabilistic reflect/refract.
+    ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
+    cos_theta = jnp.minimum(vec.dot(-unit_in, n), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = ratio * sin_theta > 1.0
+    schlick = optics.reflectance(cos_theta, ratio)
+    use_reflect = cannot_refract | (schlick > uniforms[:, 5])
+    diel_dir = jnp.where(use_reflect[:, None],
+                         optics.reflect(unit_in, n),
+                         optics.refract(unit_in, n, ratio))
+
+    is_lamb = (mtype == MAT_LAMBERTIAN)[:, None]
+    is_metal = (mtype == MAT_METAL)[:, None]
+    is_diel = (mtype == MAT_DIELECTRIC)[:, None]
+    is_emissive = mtype == MAT_EMISSIVE
+
+    direction = jnp.where(is_lamb, lamb_dir,
+                          jnp.where(is_metal, metal_dir, diel_dir))
+    attenuation = jnp.where(is_lamb, lamb_albedo,
+                            jnp.where(is_metal, albedo,
+                                      jnp.ones_like(albedo)))
+    ok = jnp.where(is_metal[:, 0], metal_ok, ~is_emissive)
+    emitted = jnp.where(is_emissive[:, None], emit, jnp.zeros_like(emit))
+    return ScatterResult(direction=direction, attenuation=attenuation,
+                         ok=ok, emitted=emitted, is_emissive=is_emissive)
