@@ -37,11 +37,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "../output2/debug.png)")
     p.add_argument("--interactive", action="store_true",
                    help="progressive terminal viewer with WASD/QE camera")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu, tpu); wins over "
+                        "site-level JAX_PLATFORMS overrides")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     # Defer heavy imports so --help is instant.
     import numpy as np

@@ -19,16 +19,18 @@ def refract(uv, n, etai_over_etat):
     """Snell refraction (physical.h:14-19).
 
     ``uv`` must be unit length; ``etai_over_etat`` broadcasts as (...,) or
-    (..., 1). The reference uses fabs() under the sqrt, which also keeps
-    gradients finite at grazing angles.
+    (..., 1). The reference uses fabs() under the sqrt; the sqrt itself is
+    additionally grad-guarded — at exact grazing (|perp| = 1) its derivative
+    is infinite and would NaN the normal/vertex gradients even when this
+    lobe is masked out.
     """
     eta = jnp.asarray(etai_over_etat)
     if eta.ndim == uv.ndim - 1:
         eta = eta[..., None]
     cos_theta = jnp.minimum(vec.dot(-uv, n, keepdims=True), 1.0)
     r_out_perp = eta * (uv + cos_theta * n)
-    r_out_parallel = -jnp.sqrt(
-        jnp.abs(1.0 - vec.length_squared(r_out_perp, keepdims=True))) * n
+    a = jnp.abs(1.0 - vec.length_squared(r_out_perp, keepdims=True))
+    r_out_parallel = -vec.safe_sqrt(a) * n
     return r_out_perp + r_out_parallel
 
 

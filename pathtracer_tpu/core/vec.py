@@ -58,6 +58,18 @@ def safe_normalize(a, eps: float = 1e-20):
     return a / jnp.sqrt(jnp.maximum(n2, eps))
 
 
+def safe_sqrt(x):
+    """sqrt(max(x, 0)) with a finite gradient at x <= 0.
+
+    A plain ``sqrt(maximum(x, 0))`` backprops cotangent * inf = NaN wherever
+    x <= 0 — even a zero cotangent (branch masked out by ``where``) poisons
+    upstream gradients. Used on every masked discriminant/sine term in the
+    differentiable path.
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def near_zero(a):
     """True where all components are < 1e-7 in magnitude (vec3.h:66-69)."""
     return jnp.all(jnp.abs(a) < NEAR_ZERO_EPS, axis=-1)

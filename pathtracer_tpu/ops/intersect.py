@@ -61,7 +61,12 @@ def intersect_sphere(o, d, center, radius, t_min, t_max):
     half_b = vec.dot(oc, d)
     c = vec.dot(oc, oc) - radius * radius
     disc = half_b * half_b - a * c
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Grad-safe sqrt: for missing rays (disc <= 0) the hit is masked out, but
+    # a plain sqrt(max(disc, 0)) still backprops 0-cotangent * inf = NaN into
+    # center/radius. Same forward value, finite gradient everywhere.
+    hit_mask = disc > 0.0
+    sqrt_d = jnp.where(hit_mask,
+                       jnp.sqrt(jnp.where(hit_mask, disc, 1.0)), 0.0)
     inv_a = 1.0 / a
     root0 = (-half_b - sqrt_d) * inv_a
     root1 = (-half_b + sqrt_d) * inv_a
@@ -162,9 +167,21 @@ def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
     front_face, normal = rays_mod.set_face_normal(d, outward)
 
     # Sphere UV (cuda_object.h:94-102); triangles leave uv = 0 like the
-    # reference (its hit() never writes u/v for triangles).
-    theta = jnp.arccos(jnp.clip(-sph_n[:, 1], -1.0, 1.0))
-    phi = jnp.arctan2(-sph_n[:, 2], sph_n[:, 0]) + vec.PI
+    # reference (its hit() never writes u/v for triangles). Both inverse-trig
+    # ops have unbounded/undefined derivatives at the poles (|y| = 1,
+    # x = z = 0), which would NaN the v0 gradient even under a zero
+    # cotangent; evaluate the value exactly and the gradient at a nudged
+    # point (value + stop_gradient correction).
+    y = jnp.clip(-sph_n[:, 1], -1.0, 1.0)
+    y_safe = jnp.clip(y, -1.0 + 1e-6, 1.0 - 1e-6)
+    theta = (jnp.arccos(y_safe)
+             + jax.lax.stop_gradient(jnp.arccos(y) - jnp.arccos(y_safe)))
+    x, z = sph_n[:, 0], -sph_n[:, 2]
+    on_pole = (x * x + z * z) < 1e-12
+    x_safe = jnp.where(on_pole, 1.0, x)
+    z_safe = jnp.where(on_pole, 0.0, z)
+    # atan2(0, 1) == atan2(0, 0) == 0, so the forward value is unchanged.
+    phi = jnp.arctan2(z_safe, x_safe) + vec.PI
     u = phi * 0.5 * vec.PI_INV
     v = theta * vec.PI_INV
     uv = jnp.where(is_sphere[:, None],

@@ -58,16 +58,26 @@ def trace(scene: Scene,
           closest_hit_fn,
           t_min: float = 1e-3,
           sky: bool = True,
-          terminate_black: bool = False):
+          terminate_black: bool = False,
+          differentiable: bool = False):
     """Trace a wavefront of rays to radiance. Returns (N, 3).
 
     ``closest_hit_fn(o, d) -> (prim_idx, valid)`` is the pluggable
     acceleration structure (brute / BVH threaded / Pallas). Its discrete
     output is detached; geometry is re-evaluated differentiably.
+
+    ``differentiable=False`` runs the bounce loop as a ``lax.while_loop``
+    that exits as soon as every ray has terminated — with the reference's
+    depth-50 default most wavefronts die in a handful of bounces, so this
+    skips the dead tail entirely (the TPU answer to the reference's
+    per-thread early ``break``, main.cu:27-31). Results are bit-identical to
+    the scan: extra iterations are no-ops once ``alive`` is all-False.
+    ``differentiable=True`` uses a fixed-trip ``lax.scan`` (reverse-mode AD
+    cannot cross a while_loop).
     """
     n_rays = origin.shape[0]
 
-    def bounce(carry, depth):
+    def bounce_step(depth, carry):
         o, d, atten, alive, absorbed, emitted_acc = carry
         bkey = jax.random.fold_in(key, depth)
         uniforms = jax.random.uniform(bkey, (n_rays, 6), jnp.float32)
@@ -95,15 +105,29 @@ def trace(scene: Scene,
         atten = jnp.where(step[:, None], atten * sc.attenuation, atten)
         # miss -> leave the loop, keep last direction for the sky lookup
         alive = alive & hit_valid & step
-        return (o, d, atten, alive, absorbed, emitted_acc), None
+        return (o, d, atten, alive, absorbed, emitted_acc)
 
     atten0 = jnp.ones((n_rays, 3), jnp.float32)
     alive0 = jnp.ones((n_rays,), bool)
     absorbed0 = jnp.zeros((n_rays,), bool)
     emitted0 = jnp.zeros((n_rays, 3), jnp.float32)
-    (o, d, atten, alive, absorbed, emitted_acc), _ = jax.lax.scan(
-        bounce, (origin, direction, atten0, alive0, absorbed0, emitted0),
-        jnp.arange(max_depth))
+    carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0)
+
+    if differentiable:
+        (o, d, atten, alive, absorbed, emitted_acc), _ = jax.lax.scan(
+            lambda c, depth: (bounce_step(depth, c), None), carry0,
+            jnp.arange(max_depth))
+    else:
+        def cond(state):
+            depth, carry = state
+            return (depth < max_depth) & jnp.any(carry[3])  # any alive
+
+        def body(state):
+            depth, carry = state
+            return depth + 1, bounce_step(depth, carry)
+
+        _, (o, d, atten, alive, absorbed, emitted_acc) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0))
 
     if sky:
         background = sky_color(d)

@@ -46,6 +46,75 @@ def _make_closest(scene: Scene, bvh, t_min: float):
     return make_bvh_closest_hit(scene, bvh, t_min)
 
 
+def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
+               rows, cols, cfg: RenderConfig, spp: int,
+               sample_offset=0, differentiable: bool = False) -> jnp.ndarray:
+    """Radiance SUM over ``spp`` samples for a flat pixel wavefront.
+
+    The shared core of the single-chip renderer, the sharded renderer
+    (parallel/sharded.py) and the differentiable pass (render/diff.py):
+
+    - ``rows``/``cols``: (P,) float32 pixel coordinates; P must be a multiple
+      of ``cfg.ray_chunk`` (callers pre-pad). Chunks are serialized with
+      ``lax.map`` to bound the HBM working set.
+    - ``sample_offset``: global index of the first sample — spp-sharded
+      callers pass their shard offset so every (pixel, sample) pair draws a
+      unique stateless key regardless of the device layout.
+    - chunk keys derive from the first pixel's *global* linear index, so a
+      pixel's jitter sequence is invariant to how the wavefront is sharded
+      across devices (determinism test: same seed => same image, SURVEY §5).
+
+    Returns (P, 3) float32 — linear radiance, NOT averaged or gamma'd.
+    """
+    n_padded = rows.shape[0]
+    chunk = min(cfg.ray_chunk, n_padded)
+    n_chunks = n_padded // chunk
+    assert n_chunks * chunk == n_padded, "wavefront must be chunk-aligned"
+    rows_c = rows.reshape(n_chunks, chunk)
+    cols_c = cols.reshape(n_chunks, chunk)
+    w_inv = 1.0 / cfg.width
+    h_inv = 1.0 / cfg.height
+
+    closest = _make_closest(scene, bvh, cfg.t_min)
+
+    def sample_pass(s, acc):
+        skey = jax.random.fold_in(base_key, sample_offset + s)
+
+        def render_chunk(args):
+            row, col = args
+            pix0 = (row[0] * cfg.width + col[0]).astype(jnp.int32)
+            ckey = jax.random.fold_in(skey, pix0)
+            pkey, tkey, lkey1, lkey2 = jax.random.split(ckey, 4)
+            # pixel jitter (main.cu:284-285)
+            xi = jax.random.uniform(pkey, (2, chunk), jnp.float32)
+            u = (col + xi[0]) * w_inv
+            v = (row + xi[1]) * h_inv
+            u_disk = jax.random.uniform(lkey1, (2, chunk), jnp.float32)
+            u_time = jax.random.uniform(lkey2, (chunk,), jnp.float32)
+            o, d, t = camera_mod.get_rays(cam, u, v, u_disk[0], u_disk[1],
+                                          u_time)
+            return integrator.trace(
+                scene, o, d, t, tkey, cfg.max_depth, closest,
+                t_min=cfg.t_min, sky=cfg.sky,
+                terminate_black=cfg.terminate_black,
+                differentiable=differentiable)
+
+        radiance = jax.lax.map(render_chunk, (rows_c, cols_c))
+        return acc + radiance.reshape(n_padded, 3)
+
+    return jax.lax.fori_loop(0, spp, sample_pass,
+                             jnp.zeros((n_padded, 3), jnp.float32))
+
+
+def padded_pixel_grid(cfg: RenderConfig, multiple: int):
+    """(rows, cols) flat f32 grids padded to a multiple of ``multiple``."""
+    rows, cols = _pixel_grid(cfg.width, cfg.height)
+    n_pixels = cfg.num_pixels
+    n_padded = -(-n_pixels // multiple) * multiple
+    return (jnp.pad(rows, (0, n_padded - n_pixels)),
+            jnp.pad(cols, (0, n_padded - n_pixels)))
+
+
 def make_renderer(cfg: RenderConfig, with_bvh: bool):
     """Build a jitted ``render(scene, bvh, camera, seed) -> (H, W, 3)``.
 
@@ -53,46 +122,12 @@ def make_renderer(cfg: RenderConfig, with_bvh: bool):
     """
     n_pixels = cfg.num_pixels
     chunk = min(cfg.ray_chunk, n_pixels)
-    n_chunks = -(-n_pixels // chunk)
-    n_padded = n_chunks * chunk
-
-    rows0, cols0 = _pixel_grid(cfg.width, cfg.height)
-    rows0 = jnp.pad(rows0, (0, n_padded - n_pixels)).reshape(n_chunks, chunk)
-    cols0 = jnp.pad(cols0, (0, n_padded - n_pixels)).reshape(n_chunks, chunk)
-    w_inv = 1.0 / cfg.width
-    h_inv = 1.0 / cfg.height
+    rows0, cols0 = padded_pixel_grid(cfg, chunk)
 
     def render(scene: Scene, bvh, cam: camera_mod.Camera, seed) -> jnp.ndarray:
-        closest = _make_closest(scene, bvh, cfg.t_min)
         base_key = jax.random.PRNGKey(seed)
-
-        def sample_pass(s, acc):
-            skey = jax.random.fold_in(base_key, s)
-
-            def render_chunk(args):
-                c_idx, row, col = args
-                ckey = jax.random.fold_in(skey, c_idx)
-                pkey, tkey, lkey1, lkey2 = jax.random.split(ckey, 4)
-                # pixel jitter (main.cu:284-285)
-                xi = jax.random.uniform(pkey, (2, chunk), jnp.float32)
-                u = (col + xi[0]) * w_inv
-                v = (row + xi[1]) * h_inv
-                u_disk = jax.random.uniform(lkey1, (2, chunk), jnp.float32)
-                u_time = jax.random.uniform(lkey2, (chunk,), jnp.float32)
-                o, d, t = camera_mod.get_rays(cam, u, v, u_disk[0], u_disk[1],
-                                              u_time)
-                return integrator.trace(
-                    scene, o, d, t, tkey, cfg.max_depth, closest,
-                    t_min=cfg.t_min, sky=cfg.sky,
-                    terminate_black=cfg.terminate_black)
-
-            chunk_ids = jnp.arange(n_chunks)
-            radiance = jax.lax.map(render_chunk, (chunk_ids, rows0, cols0))
-            return acc + radiance.reshape(n_padded, 3)
-
-        acc = jax.lax.fori_loop(
-            0, cfg.spp, sample_pass,
-            jnp.zeros((n_padded, 3), jnp.float32))
+        acc = render_sum(scene, bvh, cam, base_key, rows0, cols0, cfg,
+                         cfg.spp)
         # gamma-2 writeback (main.cu:290-293)
         img = jnp.sqrt(jnp.maximum(acc[:n_pixels], 0.0) / cfg.spp)
         return img.reshape(cfg.height, cfg.width, 3)

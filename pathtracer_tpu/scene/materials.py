@@ -86,9 +86,13 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
     metal_ok = vec.dot(metal_dir, n) > 0.0
 
     # --- dielectric (material.h:45-58): Schlick-probabilistic reflect/refract.
+    # ir guard: non-dielectric rows carry ir = 0, and although the dielectric
+    # lobe is masked out for them, an unguarded 1/0 feeds inf into refract's
+    # graph and NaNs the normal/vertex gradients (0-cotangent * inf).
+    ir = jnp.where(mtype == MAT_DIELECTRIC, ir, 1.0)
     ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
     cos_theta = jnp.minimum(vec.dot(-unit_in, n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = vec.safe_sqrt(1.0 - cos_theta * cos_theta)
     cannot_refract = ratio * sin_theta > 1.0
     schlick = optics.reflectance(cos_theta, ratio)
     use_reflect = cannot_refract | (schlick > uniforms[:, 5])

@@ -156,3 +156,23 @@ def test_bvh_and_brute_render_match():
     a = np.asarray(render_image(scene, cam, RenderConfig(accel="brute", **kw)))
     b = np.asarray(render_image(scene, cam, RenderConfig(accel="bvh", **kw)))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_while_and_scan_bounce_loops_identical():
+    """The early-exit while_loop (forward path) and the fixed-trip scan
+    (differentiable path) produce bit-identical radiance: once every ray is
+    dead, the remaining scan iterations are no-ops."""
+    scene, cam = get_world("triangle", total_count=40)
+    key = jax.random.PRNGKey(3)
+    n = 256
+    o = jnp.tile(jnp.asarray(cam.position)[None, :], (n, 1))
+    u = jnp.linspace(0.05, 0.95, n)
+    v = jnp.linspace(0.05, 0.95, n)
+    d = (cam.lower_left[None, :] + u[:, None] * cam.horizontal[None, :]
+         + v[:, None] * cam.vertical[None, :] - o)
+    closest = integrator.make_brute_closest_hit(scene, 1e-3)
+    fast = integrator.trace(scene, o, d, jnp.zeros(n), key, 16, closest,
+                            differentiable=False)
+    diff = integrator.trace(scene, o, d, jnp.zeros(n), key, 16, closest,
+                            differentiable=True)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(diff))
