@@ -28,6 +28,8 @@ def main() -> int:
     p.add_argument("--spp", type=int, default=8)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--scene", default="bunny")
+    p.add_argument("--accel", default="tensor",
+                   choices=["tensor", "pallas", "bvh", "brute"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--ray-chunk", type=int, default=57600)
     args = p.parse_args()
@@ -40,11 +42,13 @@ def main() -> int:
     from pathtracer_tpu.scene.worlds import get_world
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       max_depth=args.depth, accel="bvh",
+                       max_depth=args.depth, accel=args.accel,
                        ray_chunk=args.ray_chunk, scene=args.scene)
     scene, cam = get_world(args.scene)
-    bvh = jax.block_until_ready(build_lbvh(scene))
-    render = make_renderer(cfg, with_bvh=True)
+    bvh = None
+    if args.accel == "bvh":
+        bvh = jax.block_until_ready(build_lbvh(scene))
+    render = make_renderer(cfg, with_bvh=bvh is not None)
 
     # warmup: compile + one steady-state run
     jax.block_until_ready(render(scene, bvh, cam, 0))

@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=450)
     p.add_argument("--spp", type=int, default=100)
     p.add_argument("--max-depth", type=int, default=50)
-    p.add_argument("--accel", default="bvh", choices=["bvh", "brute"])
+    p.add_argument("--accel", default="tensor",
+                   choices=["tensor", "pallas", "bvh", "brute"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ray-chunk", type=int, default=16384)
     p.add_argument("--no-sky", action="store_true",
@@ -40,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu, tpu); wins over "
                         "site-level JAX_PLATFORMS overrides")
+    p.add_argument("--preset", default=None,
+                   help="named BASELINE config (cornell-direct / "
+                        "cornell-full / cornell-diff / bunny / "
+                        "combined-1080p); overrides scene/size/spp/depth")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="resolution/spp scale factor applied to --preset "
+                        "(e.g. 0.25 for a quick proxy run)")
     return p
 
 
@@ -58,26 +66,35 @@ def main(argv=None) -> int:
     from pathtracer_tpu.scene.worlds import get_world
 
     try:
-        scene, cam = get_world(args.scene)
+        if args.preset:
+            from pathtracer_tpu.presets import get_preset
+            scene, cam, cfg = get_preset(args.preset)
+            if args.scale != 1.0:
+                s = args.scale
+                cfg = cfg.replace(width=max(8, int(cfg.width * s)),
+                                  height=max(8, int(cfg.height * s)),
+                                  spp=max(1, int(cfg.spp * s)))
+            cfg = cfg.replace(seed=args.seed)
+        else:
+            scene, cam = get_world(args.scene)
+            sky = not args.no_sky
+            if args.scene == "cornell":
+                sky = False  # lit by the area light
+            cfg = RenderConfig(width=args.width, height=args.height,
+                               spp=args.spp, max_depth=args.max_depth,
+                               accel=args.accel, seed=args.seed,
+                               ray_chunk=args.ray_chunk, sky=sky,
+                               terminate_black=args.terminate_black,
+                               scene=args.scene)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-
-    sky = not args.no_sky
-    if args.scene == "cornell":
-        sky = False  # lit by the area light
-
-    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       max_depth=args.max_depth, accel=args.accel,
-                       seed=args.seed, ray_chunk=args.ray_chunk, sky=sky,
-                       terminate_black=args.terminate_black,
-                       scene=args.scene)
 
     if args.interactive:
         from pathtracer_tpu.viewer.interactive import run_viewer
         return run_viewer(scene, cam, cfg)
 
-    print(f"Rendering {args.scene}: {cfg.width}x{cfg.height}, "
+    print(f"Rendering {cfg.scene}: {cfg.width}x{cfg.height}, "
           f"{cfg.spp} spp, depth {cfg.max_depth}, accel={cfg.accel}")
     print("Start rendering!")
     start = time.perf_counter()

@@ -141,14 +141,25 @@ def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
     as constant, the geometry is differentiable). Mirrors what
     cuda_object.h:45-92 writes into the hit_record, including the sphere UV
     (cuda_object.h:94-102) and the face-normal flip (hit_record.h:21-24)."""
-    gather = lambda arr: jnp.take(arr, idx, axis=0)
-    ptype = gather(scene.prim_type)
-    v0 = gather(scene.v0)
-    e1 = gather(scene.e1)
-    e2 = gather(scene.e2)
-    radius = gather(scene.radius)
-    tri_n = gather(scene.tri_normal)
-    mat_id = gather(scene.prim_mat)
+    # One packed-row gather instead of seven: TPU gathers pay per gather op
+    # (row fetch is serialized), so fetching all per-prim hit fields as one
+    # (N, 16) row costs the same as one field. XLA hoists the packing out of
+    # the bounce loop (it is loop-invariant); take's backward (scatter-add)
+    # carries the v0/e1/e2 gradients.
+    packed = jnp.concatenate([
+        scene.prim_type.astype(jnp.float32)[:, None],
+        scene.v0, scene.e1, scene.e2,
+        scene.radius[:, None], scene.tri_normal,
+        scene.prim_mat.astype(jnp.float32)[:, None],
+    ], axis=1)
+    rows = jnp.take(packed, idx, axis=0)
+    ptype = rows[:, 0].astype(jnp.int32)
+    v0 = rows[:, 1:4]
+    e1 = rows[:, 4:7]
+    e2 = rows[:, 7:10]
+    radius = rows[:, 10]
+    tri_n = rows[:, 11:14]
+    mat_id = rows[:, 14].astype(jnp.int32)
 
     s_hit, s_t = intersect_sphere(o, d, v0, radius, t_min, t_max)
     tr_hit, tr_t, b1, b2 = intersect_triangle(o, d, v0, e1, e2, t_min, t_max)

@@ -1,0 +1,216 @@
+"""Closest-hit as dense MXU matmuls ("tensor sweep").
+
+TPU-native alternative to pointer-chasing BVH traversal
+(``utils/render_manager.h:86-135``): every per-(ray, primitive) intersection
+scalar the tagged-union tests need (``cuda_object.h:45-90``) is an *affine
+function of a 12-dim per-ray feature vector*
+
+    phi(r) = [d, o, o x d, o.d, |o|^2, 1]          (R, 12)
+
+against precomputed per-primitive columns, so the whole wavefront-vs-scene
+sweep is one ``(R, 12) @ (12, 4N)`` matmul (f32-exact via bf16x3
+``Precision.HIGHEST``) plus an elementwise epilogue and a masked argmin. No
+gathers, no per-ray loops, no divergence — the MXU does the broad phase.
+
+Derivation (scalar-triple-product identities; ``det3[a,b,c] = a.(b x c)``):
+
+- Möller–Trumbore (cuda_object.h:70-90), s1 = d x e2, s = o - v0,
+  s2 = s x e1:
+    det      = s1.e1 = d.(e2 x e1)
+    t * det  = s2.e2 = o.(e1 x e2) - v0.(e1 x e2)
+    b1 * det = s1.s  = (o x d).e2 - d.(e2 x v0)
+    b2 * det = s2.d  = -(o x d).e1 - d.(v0 x e1)
+- sphere (cuda_object.h:45-69), oc = o - c:
+    half_b   = oc.d      = o.d - c.d
+    c_term   = |oc|^2 - rho^2 = |o|^2 - 2 o.c + (|c|^2 - rho^2)
+    (a = d.d stays a per-ray scalar)
+
+The epilogue reproduces the reference's exact accept/reject semantics
+(strict triangle edge rejection, two-root sphere selection, det == 0
+parallel reject). Numerics differ from the factored forms at the ulp level
+(different association order), which only matters for razor-edge hits.
+
+Scaling: O(R * N) — for the reference-scale scenes (601 .. ~10k primitives)
+the MXU makes this faster than any gather-based traversal on TPU; larger
+scenes get cluster culling stacked on top (future work, SURVEY §7 step 5).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import vec
+from pathtracer_tpu.ops import intersect
+from pathtracer_tpu.scene.scene import PRIM_SPHERE, Scene
+
+FEAT = 12   # phi dimension
+OUTS = 4    # pair scalars per primitive
+
+
+class SweepTables(NamedTuple):
+    """Packed per-primitive matmul columns + epilogue metadata."""
+    cols: jnp.ndarray       # (T, FEAT, tile*OUTS) f32, tiled over prims
+    is_sphere: jnp.ndarray  # (T, tile) bool
+    valid_row: jnp.ndarray  # (T, tile) bool — False on padding rows
+    tile: int
+    num_prims: int
+
+
+def pack_sweep_tables(scene: Scene, tile: int = 2048) -> SweepTables:
+    """Build the (12, 4)-column table per primitive, tiled for the scan."""
+    n = scene.num_prims
+    # shrink the tile for small scenes (keep lane alignment)
+    tile = min(tile, max(128, -(-n // 128) * 128))
+    v0, e1, e2 = scene.v0, scene.e1, scene.e2
+    radius = scene.radius
+    is_sphere = scene.prim_type == PRIM_SPHERE
+
+    zeros = jnp.zeros((n, 3), jnp.float32)
+    zcol = jnp.zeros((n,), jnp.float32)
+    one = jnp.ones((n,), jnp.float32)
+
+    # triangle columns
+    e2xe1 = vec.cross(e2, e1)
+    m = -e2xe1                        # e1 x e2
+    e2xv0 = vec.cross(e2, v0)
+    v0xe1 = vec.cross(v0, e1)
+    col_det = jnp.concatenate([e2xe1, zeros, zeros,
+                               zcol[:, None], zcol[:, None], zcol[:, None]],
+                              axis=1)
+    col_tdet = jnp.concatenate([zeros, m, zeros, zcol[:, None],
+                                zcol[:, None], -vec.dot(v0, m)[:, None]],
+                               axis=1)
+    col_b1 = jnp.concatenate([-e2xv0, zeros, e2, zcol[:, None],
+                              zcol[:, None], zcol[:, None]], axis=1)
+    col_b2 = jnp.concatenate([-v0xe1, zeros, -e1, zcol[:, None],
+                              zcol[:, None], zcol[:, None]], axis=1)
+
+    # sphere columns (center = v0, signed radius)
+    c = v0
+    col_B = jnp.concatenate([-c, zeros, zeros, one[:, None],
+                             zcol[:, None], zcol[:, None]], axis=1)
+    col_C = jnp.concatenate([zeros, -2.0 * c, zeros, zcol[:, None],
+                             one[:, None],
+                             (vec.dot(c, c) - radius * radius)[:, None]],
+                            axis=1)
+
+    sph = is_sphere[:, None]
+    k0 = jnp.where(sph, col_B, col_det)
+    k1 = jnp.where(sph, col_C, col_tdet)
+    k2 = jnp.where(sph, jnp.zeros_like(col_b1), col_b1)
+    k3 = jnp.where(sph, jnp.zeros_like(col_b2), col_b2)
+    # (N, OUTS, FEAT) -> pad N -> tiles
+    cols = jnp.stack([k0, k1, k2, k3], axis=1)
+
+    n_tiles = max(1, -(-n // tile))
+    n_pad = n_tiles * tile
+    cols = jnp.pad(cols, ((0, n_pad - n), (0, 0), (0, 0)))
+    is_sphere_p = jnp.pad(is_sphere, (0, n_pad - n))
+    valid_row = jnp.pad(jnp.ones(n, bool), (0, n_pad - n))
+
+    # (T, tile, OUTS, FEAT) -> (T, FEAT, tile*OUTS)
+    cols = cols.reshape(n_tiles, tile, OUTS, FEAT)
+    cols = cols.transpose(0, 3, 1, 2).reshape(n_tiles, FEAT, tile * OUTS)
+    return SweepTables(cols=cols,
+                       is_sphere=is_sphere_p.reshape(n_tiles, tile),
+                       valid_row=valid_row.reshape(n_tiles, tile),
+                       tile=tile, num_prims=n)
+
+
+def ray_features(o, d):
+    """phi = [d, o, o x d, o.d, |o|^2, 1] — (R, 12)."""
+    w = vec.cross(o, d)
+    return jnp.concatenate([
+        d, o, w,
+        vec.dot(o, d)[:, None],
+        vec.dot(o, o)[:, None],
+        jnp.ones((o.shape[0], 1), jnp.float32)], axis=1)
+
+
+def _epilogue(S, a, is_sphere, valid_row, t_min, t_max):
+    """Pair scalars (R, tile, 4) -> per-pair effective t (R, tile)."""
+    B, C0, P2, P3 = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
+
+    # sphere: quadratic with two-root selection (cuda_object.h:45-69)
+    disc = B * B - a[:, None] * C0
+    pos = disc > 0.0
+    sqrt_d = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+    inv_a = 1.0 / a[:, None]
+    root0 = (-B - sqrt_d) * inv_a
+    root1 = (-B + sqrt_d) * inv_a
+    ok0 = ~((root0 < t_min) | (t_max < root0))
+    ok1 = ~((root1 < t_min) | (t_max < root1))
+    t_sph = jnp.where(ok0, root0, root1)
+    hit_sph = (disc >= 0.0) & (ok0 | ok1)
+
+    # triangle: Möller–Trumbore strict rejections (cuda_object.h:70-90)
+    det, tdet, b1det, b2det = B, C0, P2, P3
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t_tri = tdet * inv_det
+    b1 = b1det * inv_det
+    b2 = b2det * inv_det
+    miss = ((det == 0.0)
+            | (b1 >= 1.0) | (b1 <= 0.0)
+            | (b2 >= 1.0) | (b2 <= 0.0)
+            | (b1 + b2 <= 0.0) | (b1 + b2 >= 1.0)
+            | (t_tri <= t_min) | (t_tri >= t_max))
+
+    hit = jnp.where(is_sphere[None, :], hit_sph, ~miss) & valid_row[None, :]
+    t = jnp.where(is_sphere[None, :], t_sph, t_tri)
+    return jnp.where(hit, t, intersect.BIG_T)
+
+
+def tensor_closest(tables: SweepTables, o, d, t_min,
+                   t_max) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense closest-hit: (prim_idx, t, valid), each (R,).
+
+    Scans primitive tiles; per tile one HIGHEST-precision matmul + epilogue
+    + tile argmin merged into the running best. Ties go to the lowest
+    primitive index (matches ops.intersect.brute_force_closest).
+    """
+    phi = ray_features(o, d)
+    a = vec.dot(d, d)
+    r = o.shape[0]
+    tile = tables.tile
+
+    def tile_step(carry, inputs):
+        t_best, best = carry
+        cols, sph, valid_row, base = inputs
+        S = jax.lax.dot_general(
+            phi, cols, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        S = S.reshape(r, tile, OUTS)
+        t_eff = _epilogue(S, a, sph, valid_row, t_min, t_max)
+        j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
+        t_tile = jnp.take_along_axis(t_eff, j[:, None], axis=1)[:, 0]
+        better = t_tile < t_best
+        best = jnp.where(better, base + j, best)
+        t_best = jnp.where(better, t_tile, t_best)
+        return (t_best, best), None
+
+    n_tiles = tables.cols.shape[0]
+    bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    (t_best, best), _ = jax.lax.scan(
+        tile_step,
+        (jnp.full(r, intersect.BIG_T, jnp.float32),
+         jnp.full(r, -1, jnp.int32)),
+        (tables.cols, tables.is_sphere, tables.valid_row, bases))
+    valid = best >= 0
+    return jnp.where(valid, best, 0), t_best, valid
+
+
+def make_tensor_closest_hit(scene: Scene, t_min: float, tile: int = 2048):
+    """Closest-hit factory for the integrator (visibility is detached —
+    SURVEY §7 step 6, same contract as the BVH/brute variants)."""
+    tables = jax.tree_util.tree_map(
+        lambda x: jax.lax.stop_gradient(x) if hasattr(x, "dtype") else x,
+        pack_sweep_tables(scene, tile=tile))
+
+    def closest(o, d):
+        idx, _, valid = tensor_closest(tables, o, d, jnp.float32(t_min),
+                                       intersect.BIG_T)
+        return idx, valid
+    return closest

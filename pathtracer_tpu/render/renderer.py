@@ -37,9 +37,16 @@ def _pixel_grid(width: int, height: int):
     return rows, cols
 
 
-def _make_closest(scene: Scene, bvh, t_min: float):
-    """Pick the closest-hit query: threaded-BVH traversal when a BVH is
-    provided, else the linear scan (render_manager.h:71-84 fallback)."""
+def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
+    """Pick the closest-hit query: the MXU tensor sweep (accel="tensor",
+    TPU default), threaded-BVH traversal when a BVH is provided, or the
+    linear scan (render_manager.h:71-84 fallback)."""
+    if accel == "tensor":
+        from pathtracer_tpu.ops.tensor_sweep import make_tensor_closest_hit
+        return make_tensor_closest_hit(scene, t_min)
+    if accel == "pallas":
+        from pathtracer_tpu.ops.pallas_sweep import make_pallas_closest_hit
+        return make_pallas_closest_hit(scene, t_min)
     if bvh is None:
         return integrator.make_brute_closest_hit(scene, t_min)
     from pathtracer_tpu.ops.traversal import make_bvh_closest_hit
@@ -75,7 +82,7 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
     w_inv = 1.0 / cfg.width
     h_inv = 1.0 / cfg.height
 
-    closest = _make_closest(scene, bvh, cfg.t_min)
+    closest = _make_closest(scene, bvh, cfg.t_min, cfg.accel)
 
     def sample_pass(s, acc):
         skey = jax.random.fold_in(base_key, sample_offset + s)

@@ -57,12 +57,24 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
     reflect/refract coin. One ``jax.random.uniform`` call feeds the whole
     bounce — the stateless replacement for per-thread curand draws.
     """
-    mtype = jnp.take(scene.mat_type, rec.mat_id, axis=0)
-    albedo = jnp.take(scene.albedo, rec.mat_id, axis=0)
-    fuzz = jnp.take(scene.fuzz, rec.mat_id, axis=0)
-    ir = jnp.take(scene.ir, rec.mat_id, axis=0)
-    emit = jnp.take(scene.emit, rec.mat_id, axis=0)
-    tex_id = jnp.take(scene.tex_id, rec.mat_id, axis=0)
+    # Single packed-row gather for all material fields (TPU pays per gather
+    # op, not per field; packing is bounce-loop-invariant and hoisted).
+    # Integer tags ride as f32 (exact below 2^24); albedo/emit keep grads
+    # through concatenate + take.
+    packed = jnp.concatenate([
+        scene.mat_type.astype(jnp.float32)[:, None],
+        scene.albedo,
+        scene.fuzz[:, None], scene.ir[:, None],
+        scene.emit,
+        scene.tex_id.astype(jnp.float32)[:, None],
+    ], axis=1)
+    rows = jnp.take(packed, rec.mat_id, axis=0)
+    mtype = rows[:, 0].astype(jnp.int32)
+    albedo = rows[:, 1:4]
+    fuzz = rows[:, 4]
+    ir = rows[:, 5]
+    emit = rows[:, 6:9]
+    tex_id = rows[:, 9].astype(jnp.int32)
 
     n = rec.normal
 
