@@ -141,18 +141,19 @@ def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
     as constant, the geometry is differentiable). Mirrors what
     cuda_object.h:45-92 writes into the hit_record, including the sphere UV
     (cuda_object.h:94-102) and the face-normal flip (hit_record.h:21-24)."""
-    # One packed-row gather instead of seven: TPU gathers pay per gather op
-    # (row fetch is serialized), so fetching all per-prim hit fields as one
-    # (N, 16) row costs the same as one field. XLA hoists the packing out of
-    # the bounce loop (it is loop-invariant); take's backward (scatter-add)
-    # carries the v0/e1/e2 gradients.
+    # One packed-row MXU gather instead of seven takes: TPU's native gather
+    # is serialized per row (~ms-scale for a 16k wavefront), so all per-prim
+    # hit fields ride one one-hot matmul (ops/gather.exact_rows). Packing is
+    # bounce-loop-invariant and hoisted; the matmul's backward (a scatter-add
+    # matmul) carries the v0/e1/e2 gradients.
+    from pathtracer_tpu.ops.gather import exact_rows
     packed = jnp.concatenate([
         scene.prim_type.astype(jnp.float32)[:, None],
         scene.v0, scene.e1, scene.e2,
         scene.radius[:, None], scene.tri_normal,
         scene.prim_mat.astype(jnp.float32)[:, None],
     ], axis=1)
-    rows = jnp.take(packed, idx, axis=0)
+    rows = exact_rows(packed, idx)
     ptype = rows[:, 0].astype(jnp.int32)
     v0 = rows[:, 1:4]
     e1 = rows[:, 4:7]

@@ -29,8 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pathtracer_tpu.core import vec
-from pathtracer_tpu.ops import intersect
-from pathtracer_tpu.ops.tensor_sweep import (FEAT, OUTS, SweepTables,
+from pathtracer_tpu.ops import tensor_sweep
+from pathtracer_tpu.ops.tensor_sweep import (BIG, FEAT, OUTS, SweepTables,
                                              pack_sweep_tables, ray_features)
 from pathtracer_tpu.scene.scene import Scene
 
@@ -42,54 +42,25 @@ def _sweep_kernel(phi_ref, a_ref, cols_ref, sph_ref, valid_ref,
                   t_ref, best_ref, *, tile, t_min):
     j = pl.program_id(1)
 
-    BIG = 3.0e38  # python literal: jnp constants may not be captured
-
     @pl.when(j == 0)
     def _():
         t_ref[:] = jnp.full_like(t_ref, BIG)
         best_ref[:] = jnp.full_like(best_ref, -1)
 
-    # (RT, FEAT) @ (FEAT, tile*OUTS) on the MXU, f32-exact
+    # (RT, FEAT) @ (FEAT, OUTS*tile) on the MXU, f32-exact; the OUTS-major
+    # column layout lets us slice the result along lanes (Mosaic cannot
+    # reshape-split the lane dimension).
     S = jax.lax.dot_general(
         phi_ref[:], cols_ref[0],
         (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    rt = S.shape[0]
-    S = S.reshape(rt, tile, OUTS)
-    B, C0, P2, P3 = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
-    a = a_ref[:]                      # (RT,)
-    is_sphere = sph_ref[0, 0] != 0    # (tile,)
-    valid_row = valid_ref[0, 0] != 0
-
-    t_max = BIG
-    # sphere quadratic (cuda_object.h:45-69)
-    disc = B * B - a[:, None] * C0
-    pos = disc > 0.0
-    sqrt_d = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
-    inv_a = 1.0 / a[:, None]
-    root0 = (-B - sqrt_d) * inv_a
-    root1 = (-B + sqrt_d) * inv_a
-    ok0 = ~((root0 < t_min) | (t_max < root0))
-    ok1 = ~((root1 < t_min) | (t_max < root1))
-    t_sph = jnp.where(ok0, root0, root1)
-    hit_sph = (disc >= 0.0) & (ok0 | ok1)
-
-    # Möller–Trumbore strict rejections (cuda_object.h:70-90)
-    det, tdet, b1det, b2det = B, C0, P2, P3
-    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
-    t_tri = tdet * inv_det
-    b1 = b1det * inv_det
-    b2 = b2det * inv_det
-    miss = ((det == 0.0)
-            | (b1 >= 1.0) | (b1 <= 0.0)
-            | (b2 >= 1.0) | (b2 <= 0.0)
-            | (b1 + b2 <= 0.0) | (b1 + b2 >= 1.0)
-            | (t_tri <= t_min) | (t_tri >= t_max))
-
-    hit = jnp.where(is_sphere[None, :], hit_sph, ~miss) & valid_row[None, :]
-    t_eff = jnp.where(hit, jnp.where(is_sphere[None, :], t_sph, t_tri),
-                      BIG)
+    t_eff = tensor_sweep._epilogue(
+        S[:, 0:tile], S[:, tile:2 * tile],
+        S[:, 2 * tile:3 * tile], S[:, 3 * tile:4 * tile],
+        a_ref[:],
+        sph_ref[0, 0] != 0, valid_ref[0, 0] != 0,
+        t_min, BIG)
 
     local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
     local_t = jnp.min(t_eff, axis=1)

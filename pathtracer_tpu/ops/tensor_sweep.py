@@ -47,6 +47,7 @@ from pathtracer_tpu.scene.scene import PRIM_SPHERE, Scene
 
 FEAT = 12   # phi dimension
 OUTS = 4    # pair scalars per primitive
+BIG = 3.0e38  # python float: also usable inside Pallas kernels
 
 
 class SweepTables(NamedTuple):
@@ -110,9 +111,12 @@ def pack_sweep_tables(scene: Scene, tile: int = 2048) -> SweepTables:
     is_sphere_p = jnp.pad(is_sphere, (0, n_pad - n))
     valid_row = jnp.pad(jnp.ones(n, bool), (0, n_pad - n))
 
-    # (T, tile, OUTS, FEAT) -> (T, FEAT, tile*OUTS)
+    # (T, tile, OUTS, FEAT) -> (T, FEAT, OUTS*tile), output-major in lanes:
+    # output k occupies columns [k*tile, (k+1)*tile). This layout lets the
+    # Pallas kernel slice the matmul result along lanes (Mosaic cannot
+    # reshape-split the lane dimension).
     cols = cols.reshape(n_tiles, tile, OUTS, FEAT)
-    cols = cols.transpose(0, 3, 1, 2).reshape(n_tiles, FEAT, tile * OUTS)
+    cols = cols.transpose(0, 3, 2, 1).reshape(n_tiles, FEAT, OUTS * tile)
     return SweepTables(cols=cols,
                        is_sphere=is_sphere_p.reshape(n_tiles, tile),
                        valid_row=valid_row.reshape(n_tiles, tile),
@@ -129,10 +133,11 @@ def ray_features(o, d):
         jnp.ones((o.shape[0], 1), jnp.float32)], axis=1)
 
 
-def _epilogue(S, a, is_sphere, valid_row, t_min, t_max):
-    """Pair scalars (R, tile, 4) -> per-pair effective t (R, tile)."""
-    B, C0, P2, P3 = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
+def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
+    """Pair scalars (R, tile) x4 -> per-pair effective t (R, tile).
 
+    Shared by the XLA scan (tensor_closest) and the Pallas kernel
+    (ops/pallas_sweep.py) — pure jnp, python-scalar-friendly bounds."""
     # sphere: quadratic with two-root selection (cuda_object.h:45-69)
     disc = B * B - a[:, None] * C0
     pos = disc > 0.0
@@ -157,9 +162,12 @@ def _epilogue(S, a, is_sphere, valid_row, t_min, t_max):
             | (b1 + b2 <= 0.0) | (b1 + b2 >= 1.0)
             | (t_tri <= t_min) | (t_tri >= t_max))
 
-    hit = jnp.where(is_sphere[None, :], hit_sph, ~miss) & valid_row[None, :]
-    t = jnp.where(is_sphere[None, :], t_sph, t_tri)
-    return jnp.where(hit, t, intersect.BIG_T)
+    # Select between the two primitive families on *floats* only — a
+    # where() with bool branches lowers to an i1-vector select that Mosaic
+    # rejects ("unsupported target bitwidth for truncation").
+    t_sph_eff = jnp.where(hit_sph & valid_row[None, :], t_sph, BIG)
+    t_tri_eff = jnp.where(~miss & valid_row[None, :], t_tri, BIG)
+    return jnp.where(is_sphere[None, :], t_sph_eff, t_tri_eff)
 
 
 def tensor_closest(tables: SweepTables, o, d, t_min,
@@ -182,8 +190,9 @@ def tensor_closest(tables: SweepTables, o, d, t_min,
             phi, cols, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-        S = S.reshape(r, tile, OUTS)
-        t_eff = _epilogue(S, a, sph, valid_row, t_min, t_max)
+        t_eff = _epilogue(S[:, 0:tile], S[:, tile:2 * tile],
+                          S[:, 2 * tile:3 * tile], S[:, 3 * tile:4 * tile],
+                          a, sph, valid_row, t_min, t_max)
         j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
         t_tile = jnp.take_along_axis(t_eff, j[:, None], axis=1)[:, 0]
         better = t_tile < t_best

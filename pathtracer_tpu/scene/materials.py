@@ -57,10 +57,11 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
     reflect/refract coin. One ``jax.random.uniform`` call feeds the whole
     bounce — the stateless replacement for per-thread curand draws.
     """
-    # Single packed-row gather for all material fields (TPU pays per gather
-    # op, not per field; packing is bounce-loop-invariant and hoisted).
-    # Integer tags ride as f32 (exact below 2^24); albedo/emit keep grads
-    # through concatenate + take.
+    # Single packed-row MXU gather for all material fields (TPU's native
+    # gather is serialized per row; see ops/gather.exact_rows). Integer tags
+    # ride as f32 (exact below 2^24); albedo/emit keep grads through
+    # concatenate + the matmul's scatter-add backward.
+    from pathtracer_tpu.ops.gather import exact_rows
     packed = jnp.concatenate([
         scene.mat_type.astype(jnp.float32)[:, None],
         scene.albedo,
@@ -68,7 +69,7 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
         scene.emit,
         scene.tex_id.astype(jnp.float32)[:, None],
     ], axis=1)
-    rows = jnp.take(packed, rec.mat_id, axis=0)
+    rows = exact_rows(packed, rec.mat_id)
     mtype = rows[:, 0].astype(jnp.int32)
     albedo = rows[:, 1:4]
     fuzz = rows[:, 4]
