@@ -58,15 +58,15 @@ def _sweep_kernel(phi_ref, a_ref, cols_ref, sph_ref, valid_ref,
     t_eff = tensor_sweep._epilogue(
         S[:, 0:tile], S[:, tile:2 * tile],
         S[:, 2 * tile:3 * tile], S[:, 3 * tile:4 * tile],
-        a_ref[:],
+        a_ref[0, 0],
         sph_ref[0, 0] != 0, valid_ref[0, 0] != 0,
         t_min, BIG)
 
     local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
     local_t = jnp.min(t_eff, axis=1)
-    better = local_t < t_ref[:]
-    best_ref[:] = jnp.where(better, j * tile + local_j, best_ref[:])
-    t_ref[:] = jnp.where(better, local_t, t_ref[:])
+    better = local_t < t_ref[0, 0]
+    best_ref[0, 0] = jnp.where(better, j * tile + local_j, best_ref[0, 0])
+    t_ref[0, 0] = jnp.where(better, local_t, t_ref[0, 0])
 
 
 def pallas_closest(tables: SweepTables, o, d, t_min,
@@ -91,21 +91,25 @@ def pallas_closest(tables: SweepTables, o, d, t_min,
         # pad a with 1 (not 0): phi = 0, a = 1 makes every test reject
         # cleanly (sphere roots 0 < t_min; triangle det == 0)
         a = jnp.pad(a, (0, r_pad - r), constant_values=1.0)
-    # rank-3 (T, 1, tile) so the per-tile block satisfies Mosaic's
-    # last-two-dims tiling rule ((1, tile) == the array's own trailing dims)
+    # Rank-1 operands get an XLA layout (T(1024)) that fights Mosaic's
+    # (T(128)) block tiling; carry every per-ray vector as rank-3
+    # (n_ray_tiles, 1, ray_tile) instead, blocks (1, 1, ray_tile) — the
+    # same trick as the per-tile flag rows.
+    n_ray_tiles = r_pad // ray_tile
+    a = a.reshape(n_ray_tiles, 1, ray_tile)
     sph = tables.is_sphere.astype(jnp.int32)[:, None, :]
     valid = tables.valid_row.astype(jnp.int32)[:, None, :]
 
     kernel = functools.partial(_sweep_kernel, tile=tile,
                                t_min=float(t_min))
-    grid = (r_pad // ray_tile, n_tiles)
+    grid = (n_ray_tiles, n_tiles)
     t_best, best = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((ray_tile, FEAT), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile,), lambda i, j: (i,),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FEAT, tile * OUTS), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -115,19 +119,20 @@ def pallas_closest(tables: SweepTables, o, d, t_min,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ray_tile,), lambda i, j: (i,),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile,), lambda i, j: (i,),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((r_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((n_ray_tiles, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_ray_tiles, 1, ray_tile), jnp.int32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(phi, a, tables.cols, sph, valid)
 
-    t_best, best = t_best[:r], best[:r]
+    t_best = t_best.reshape(r_pad)[:r]
+    best = best.reshape(r_pad)[:r]
     found = best >= 0
     return jnp.where(found, best, 0), t_best, found
 
