@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ray-chunk", type=int, default=16384)
     p.add_argument("--no-sky", action="store_true",
                    help="black background (emissive-lit scenes)")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation (sample area lights at "
+                        "diffuse bounces; for emissive-lit scenes)")
     p.add_argument("--terminate-black", action="store_true",
                    help="depth-exhausted rays return black instead of the "
                         "reference's sky*attenuation quirk")
@@ -84,6 +87,7 @@ def main(argv=None) -> int:
                                spp=args.spp, max_depth=args.max_depth,
                                accel=args.accel, seed=args.seed,
                                ray_chunk=args.ray_chunk, sky=sky,
+                               nee=args.nee or args.scene == "cornell",
                                terminate_black=args.terminate_black,
                                scene=args.scene)
     except ValueError as e:

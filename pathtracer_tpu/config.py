@@ -37,6 +37,11 @@ class RenderConfig:
     # black background instead.
     sky: bool = True
 
+    # Next-event estimation: sample area lights directly at diffuse bounces
+    # (render/lights.py). Needs emissive prims in the scene; essential for
+    # the Cornell configs, off by default for reference parity.
+    nee: bool = False
+
     # Reference quirk (main.cu:26-36): rays that exhaust max_depth without a
     # miss still return sky * attenuation. ``terminate_black=True`` switches
     # to the physically-correct black termination.

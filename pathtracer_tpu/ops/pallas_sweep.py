@@ -147,7 +147,6 @@ def make_pallas_closest_hit(scene: Scene, t_min: float,
         pack_sweep_tables(scene, tile=tile))
 
     def closest(o, d):
-        idx, _, valid = pallas_closest(tables, o, d, float(t_min),
-                                       ray_tile=ray_tile)
-        return idx, valid
+        return pallas_closest(tables, o, d, float(t_min),
+                              ray_tile=ray_tile)
     return closest

@@ -219,7 +219,6 @@ def make_tensor_closest_hit(scene: Scene, t_min: float, tile: int = 2048):
         pack_sweep_tables(scene, tile=tile))
 
     def closest(o, d):
-        idx, _, valid = tensor_closest(tables, o, d, jnp.float32(t_min),
-                                       intersect.BIG_T)
-        return idx, valid
+        return tensor_closest(tables, o, d, jnp.float32(t_min),
+                              intersect.BIG_T)
     return closest

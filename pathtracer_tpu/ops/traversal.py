@@ -71,7 +71,7 @@ def traverse(nodes: FatNodes, o, d, t_min, t_max,
              max_steps: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest-hit query for a batch of rays.
 
-    Returns (prim_idx (R,) int32, valid (R,) bool). ``max_steps`` bounds the
+    Returns (prim_idx (R,) int32, t (R,), valid (R,) bool). ``max_steps`` bounds the
     batched loop (default 4 * node count — a malformed-tree guard; a correct
     DFS visits each node at most once per ray).
     """
@@ -114,7 +114,7 @@ def traverse(nodes: FatNodes, o, d, t_min, t_max,
     _, t_best, best, _ = jax.lax.while_loop(
         cond, body, (ptr0, t0, best0, jnp.int32(0)))
     valid = best >= 0
-    return jnp.where(valid, best, 0), valid
+    return jnp.where(valid, best, 0), t_best, valid
 
 
 def make_bvh_closest_hit(scene: Scene, bvh: LBVH, t_min: float):

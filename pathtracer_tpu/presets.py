@@ -78,17 +78,17 @@ def get_preset(name: str):
         scene, cam = cornell_box(variant="spheres")
         return scene, cam, RenderConfig(
             width=256, height=256, spp=16, max_depth=2, sky=False,
-            accel="tensor", scene="cornell")
+            nee=True, accel="tensor", scene="cornell")
     if name == "cornell-full":
         scene, cam = cornell_box(variant="full")
         return scene, cam, RenderConfig(
             width=256, height=256, spp=64, max_depth=4, sky=False,
-            accel="tensor", scene="cornell")
+            nee=True, accel="tensor", scene="cornell")
     if name == "cornell-diff":
         scene, cam = cornell_box(variant="spheres")
         return scene, cam, RenderConfig(
             width=64, height=64, spp=8, max_depth=2, sky=False,
-            accel="brute", scene="cornell")
+            nee=True, accel="brute", scene="cornell")
     if name == "bunny":
         scene, cam = get_world("bunny")
         return scene, cam, RenderConfig(
@@ -98,7 +98,7 @@ def get_preset(name: str):
         scene, cam = combined_scene()
         return scene, cam, RenderConfig(
             width=1920, height=1080, spp=512, max_depth=4, sky=False,
-            accel="tensor", ray_chunk=129600, scene="combined")
+            nee=True, accel="tensor", ray_chunk=129600, scene="combined")
     raise ValueError(
         f"unknown preset {name!r}; available: cornell-direct / cornell-full "
         f"/ cornell-diff / bunny / combined-1080p")

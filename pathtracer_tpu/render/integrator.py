@@ -45,9 +45,8 @@ ClosestHitFn = Callable
 def make_brute_closest_hit(scene: Scene, t_min: float):
     """Closest hit via linear scan (render_manager.h:71-84 equivalent)."""
     def closest(o, d):
-        idx, _, valid = intersect.brute_force_closest(
+        return intersect.brute_force_closest(
             scene, o, d, jnp.float32(t_min), intersect.BIG_T)
-        return idx, valid
     return closest
 
 
@@ -59,11 +58,12 @@ def trace(scene: Scene,
           t_min: float = 1e-3,
           sky: bool = True,
           terminate_black: bool = False,
-          differentiable: bool = False):
+          differentiable: bool = False,
+          nee: bool = False):
     """Trace a wavefront of rays to radiance. Returns (N, 3).
 
-    ``closest_hit_fn(o, d) -> (prim_idx, valid)`` is the pluggable
-    acceleration structure (brute / BVH threaded / Pallas). Its discrete
+    ``closest_hit_fn(o, d) -> (prim_idx, t, valid)`` is the pluggable
+    acceleration structure (tensor / Pallas / BVH / brute). Its discrete
     output is detached; geometry is re-evaluated differentiably.
 
     ``differentiable=False`` runs the bounce loop as a ``lax.while_loop``
@@ -74,47 +74,74 @@ def trace(scene: Scene,
     the scan: extra iterations are no-ops once ``alive`` is all-False.
     ``differentiable=True`` uses a fixed-trip ``lax.scan`` (reverse-mode AD
     cannot cross a while_loop).
+
+    ``nee=True`` (scenes with emissive lights): every diffuse bounce also
+    samples one point on one light and casts a shadow ray (render/lights.py);
+    emissive hits then only count for camera rays and after specular bounces,
+    avoiding double counting. The reference needs none of this — its only
+    light is the sky.
     """
     n_rays = origin.shape[0]
+    use_nee = bool(nee) and scene.num_lights > 0
+    if use_nee:
+        from pathtracer_tpu.render import lights as lights_mod
 
     def bounce_step(depth, carry):
-        o, d, atten, alive, absorbed, emitted_acc = carry
+        o, d, atten, alive, absorbed, emitted_acc, spec_prev = carry
         bkey = jax.random.fold_in(key, depth)
         uniforms = jax.random.uniform(bkey, (n_rays, 6), jnp.float32)
 
         # Visibility query on detached geometry (discrete winner index).
-        idx, hit_valid = closest_hit_fn(jax.lax.stop_gradient(o),
-                                        jax.lax.stop_gradient(d))
+        idx, _, hit_valid = closest_hit_fn(jax.lax.stop_gradient(o),
+                                           jax.lax.stop_gradient(d))
         rec = intersect.hit_records_from_prims(
             scene, idx, o, d, jnp.float32(t_min), intersect.BIG_T, hit_valid)
 
         sc = materials.scatter(scene, rec, d, uniforms)
 
         active = alive & hit_valid
-        # emissive termination: add radiance, stop, no sky contribution
+        # emissive termination: add radiance, stop, no sky contribution.
+        # Under NEE only camera rays / post-specular paths count it (the
+        # diffuse paths already got it from the light sample).
         hit_emitter = active & sc.is_emissive
+        emit_gate = hit_emitter & spec_prev if use_nee else hit_emitter
         emitted_acc = emitted_acc + jnp.where(
-            hit_emitter[:, None], atten * sc.emitted, 0.0)
+            emit_gate[:, None], atten * sc.emitted, 0.0)
         # metal absorbed -> black (main.cu:30-31)
         newly_absorbed = active & ~sc.is_emissive & ~sc.ok
         absorbed = absorbed | newly_absorbed | hit_emitter
 
         step = active & sc.ok & ~sc.is_emissive
+
+        if use_nee:
+            # separate folded key so the legacy (non-NEE) sample streams are
+            # unchanged (golden-image stability)
+            u_nee = jax.random.uniform(jax.random.fold_in(bkey, 1),
+                                       (n_rays, 3), jnp.float32)
+            direct, _ = lights_mod.direct_lighting(
+                scene, rec.p, rec.normal, sc.attenuation, closest_hit_fn,
+                u_nee, eps=t_min)
+            take_direct = step & sc.is_diffuse
+            emitted_acc = emitted_acc + jnp.where(
+                take_direct[:, None], atten * direct, 0.0)
+            spec_prev = jnp.where(step, sc.is_specular, spec_prev)
+
         o = jnp.where(step[:, None], rec.p, o)
         d = jnp.where(step[:, None], sc.direction, d)
         atten = jnp.where(step[:, None], atten * sc.attenuation, atten)
         # miss -> leave the loop, keep last direction for the sky lookup
         alive = alive & hit_valid & step
-        return (o, d, atten, alive, absorbed, emitted_acc)
+        return (o, d, atten, alive, absorbed, emitted_acc, spec_prev)
 
     atten0 = jnp.ones((n_rays, 3), jnp.float32)
     alive0 = jnp.ones((n_rays,), bool)
     absorbed0 = jnp.zeros((n_rays,), bool)
     emitted0 = jnp.zeros((n_rays, 3), jnp.float32)
-    carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0)
+    spec0 = jnp.ones((n_rays,), bool)  # camera rays count emissive hits
+    carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0, spec0)
 
     if differentiable:
-        (o, d, atten, alive, absorbed, emitted_acc), _ = jax.lax.scan(
+        (o, d, atten, alive, absorbed, emitted_acc, _), _ = jax.lax.scan(
             lambda c, depth: (bounce_step(depth, c), None), carry0,
             jnp.arange(max_depth))
     else:
@@ -126,8 +153,8 @@ def trace(scene: Scene,
             depth, carry = state
             return depth + 1, bounce_step(depth, carry)
 
-        _, (o, d, atten, alive, absorbed, emitted_acc) = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), carry0))
+        _, (o, d, atten, alive, absorbed, emitted_acc, _) = \
+            jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
 
     if sky:
         background = sky_color(d)

@@ -1,0 +1,110 @@
+"""Area-light sampling for next-event estimation.
+
+The reference has no emitters — its only light is the sky gradient
+(``main.cu:34-36``) — so naive path tracing converges fine there. The
+Cornell-box configs (BASELINE 1/2/5) are lit by a small area light, where
+naive sampling needs thousands of spp; NEE (sampling a point on a light and
+casting one shadow ray per diffuse bounce) is the standard fix.
+
+Sampling is uniform over (light choice x surface area); the returned pdf is
+with respect to area and already includes the 1/L light-choice factor.
+Triangle emitters are double-sided (the reference's cornellbox ``light.obj``
+ceiling quad has a single orientation).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import sampling, vec
+from pathtracer_tpu.ops.gather import exact_rows
+from pathtracer_tpu.scene.scene import PRIM_SPHERE, Scene
+
+FOUR_PI = 4.0 * vec.PI
+
+
+def sample_lights(scene: Scene, u: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
+    """Sample one point on one light per ray.
+
+    ``u`` is (R, 3) of U[0,1) draws: [0] light choice, [1:3] surface sample.
+    Returns (point (R,3), normal (R,3), emitted (R,3), pdf_area (R,)) with
+    pdf including the uniform 1/L light-choice probability.
+    Requires scene.num_lights > 0.
+    """
+    num_lights = scene.num_lights
+    # small (L, 14) table of light geometry + emission, loop-invariant
+    lv = scene.light_idx
+    table = jnp.concatenate([
+        jnp.take(scene.prim_type, lv, axis=0).astype(jnp.float32)[:, None],
+        jnp.take(scene.v0, lv, axis=0),
+        jnp.take(scene.e1, lv, axis=0),
+        jnp.take(scene.e2, lv, axis=0),
+        jnp.take(scene.radius, lv, axis=0)[:, None],
+        jnp.take(scene.tri_normal, lv, axis=0),
+        jnp.take(scene.emit, jnp.take(scene.prim_mat, lv, axis=0), axis=0),
+    ], axis=1)
+
+    li = jnp.clip((u[:, 0] * num_lights).astype(jnp.int32), 0,
+                  num_lights - 1)
+    rows = exact_rows(table, li, force_matmul=True)
+    ptype = rows[:, 0]
+    v0 = rows[:, 1:4]
+    e1 = rows[:, 4:7]
+    e2 = rows[:, 7:10]
+    radius = rows[:, 10]
+    tri_n = rows[:, 11:14]
+    emit = rows[:, 14:17]
+
+    u1, u2 = u[:, 1], u[:, 2]
+
+    # triangle: uniform barycentric (b1 = 1 - sqrt(u1), b2 = u2 * sqrt(u1))
+    sq = jnp.sqrt(u1)
+    b1 = 1.0 - sq
+    b2 = u2 * sq
+    p_tri = v0 + b1[:, None] * e1 + b2[:, None] * e2
+    cr = vec.cross(e1, e2)
+    area_tri = 0.5 * vec.length(cr)
+
+    # sphere: uniform on the full surface
+    omega = sampling.uniform_on_sphere(u1, u2)
+    r_abs = jnp.abs(radius)
+    p_sph = v0 + r_abs[:, None] * omega
+    area_sph = FOUR_PI * r_abs * r_abs
+
+    is_sphere = ptype == float(PRIM_SPHERE)
+    point = jnp.where(is_sphere[:, None], p_sph, p_tri)
+    normal = jnp.where(is_sphere[:, None], omega, tri_n)
+    area = jnp.where(is_sphere, area_sph, area_tri)
+    pdf = 1.0 / (jnp.maximum(area, 1e-12) * num_lights)
+    return point, normal, emit, pdf
+
+
+def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
+                    u, eps: float = 1e-3):
+    """One-sample NEE estimate of direct radiance at a lambertian hit.
+
+    L = f * cos_s * cos_l * emit / (dist^2 * pdf_area), f = albedo / pi.
+    The shadow ray uses the *unnormalized* segment as its direction, so the
+    light point sits at t == 1: any accepted hit with t < 1 - eps occludes.
+    Returns (radiance (R,3), valid (R,) bool).
+    """
+    import jax
+
+    point, n_l, emit, pdf = sample_lights(scene, u)
+    seg = point - rec_p
+    dist2 = vec.dot(seg, seg)
+    inv_dist = 1.0 / jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    cos_s = vec.dot(rec_normal, seg) * inv_dist
+    cos_l = jnp.abs(vec.dot(n_l, seg)) * inv_dist  # double-sided emitter
+
+    _, t_sh, sh_valid = closest_hit_fn(jax.lax.stop_gradient(rec_p),
+                                       jax.lax.stop_gradient(seg))
+    unoccluded = (~sh_valid) | (t_sh >= 1.0 - eps)
+
+    geom = cos_s * cos_l / (jnp.maximum(dist2, 1e-12) * pdf)
+    radiance = albedo * vec.PI_INV * geom[:, None] * emit
+    ok = unoccluded & (cos_s > 0.0) & (cos_l > 0.0)
+    return jnp.where(ok[:, None], radiance, 0.0), ok

@@ -104,7 +104,7 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
                 scene, o, d, t, tkey, cfg.max_depth, closest,
                 t_min=cfg.t_min, sky=cfg.sky,
                 terminate_black=cfg.terminate_black,
-                differentiable=differentiable)
+                differentiable=differentiable, nee=cfg.nee)
 
         radiance = jax.lax.map(render_chunk, (rows_c, cols_c))
         return acc + radiance.reshape(n_padded, 3)

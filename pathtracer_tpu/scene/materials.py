@@ -31,6 +31,9 @@ class ScatterResult(NamedTuple):
     ok: jnp.ndarray           # (N,) bool — False = absorbed (metal, material.h:43)
     emitted: jnp.ndarray      # (N, 3) radiance emitted at the hit
     is_emissive: jnp.ndarray  # (N,) bool — path terminates at an emitter
+    is_diffuse: jnp.ndarray   # (N,) bool — lambertian (NEE samples lights)
+    is_specular: jnp.ndarray  # (N,) bool — metal/dielectric (emissive hits
+                              # stay counted after these under NEE)
 
 
 def sample_texture(scene: Scene, tex_id, uv):
@@ -126,4 +129,6 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
     ok = jnp.where(is_metal[:, 0], metal_ok, ~is_emissive)
     emitted = jnp.where(is_emissive[:, None], emit, jnp.zeros_like(emit))
     return ScatterResult(direction=direction, attenuation=attenuation,
-                         ok=ok, emitted=emitted, is_emissive=is_emissive)
+                         ok=ok, emitted=emitted, is_emissive=is_emissive,
+                         is_diffuse=is_lamb[:, 0],
+                         is_specular=is_metal[:, 0] | is_diel[:, 0])

@@ -61,6 +61,10 @@ class Scene(NamedTuple):
     world_min: jnp.ndarray   # (3,) union of primitive AABBs (morton domain)
     world_max: jnp.ndarray   # (3,)
 
+    # Emissive primitive ids, (L,) int32 — the light list for next-event
+    # estimation (render/lights.py). L == 0 -> NEE unavailable.
+    light_idx: jnp.ndarray
+
     # Texture atlas: K images stacked into one (K, TH, TW, 3) array
     # (resampled to a common size). Empty -> shape (0, 1, 1, 3).
     textures: jnp.ndarray
@@ -68,6 +72,10 @@ class Scene(NamedTuple):
     @property
     def num_prims(self) -> int:
         return self.prim_type.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.light_idx.shape[0]
 
     @property
     def num_materials(self) -> int:
@@ -202,6 +210,10 @@ class SceneBuilder:
         else:
             atlas = np.zeros((0, 1, 1, 3), np.float32)
 
+        # lights = real (non-padding) prims with an emissive material
+        light_idx = np.nonzero(
+            mtype[pmat[:n]] == MAT_EMISSIVE)[0].astype(np.int32)
+
         return Scene(
             prim_type=jnp.asarray(ptype), v0=jnp.asarray(v0),
             e1=jnp.asarray(e1), e2=jnp.asarray(e2),
@@ -212,4 +224,5 @@ class SceneBuilder:
             fuzz=jnp.asarray(fuzz), ir=jnp.asarray(ir),
             emit=jnp.asarray(emit), tex_id=jnp.asarray(tex_id),
             world_min=jnp.asarray(world_min), world_max=jnp.asarray(world_max),
+            light_idx=jnp.asarray(light_idx),
             textures=jnp.asarray(atlas))

@@ -100,7 +100,7 @@ def test_lbvh_single_prim():
     # root-is-leaf traversal (render_manager.h:92-98 special case)
     nodes = traversal.pack_fat_nodes(scene, bvh)
     o = jnp.array([[0.0, 0.0, 5.0]]); d = jnp.array([[0.0, 0.0, -1.0]])
-    idx, valid = traversal.traverse(nodes, o, d, 1e-3, intersect.BIG_T)
+    idx, _, valid = traversal.traverse(nodes, o, d, 1e-3, intersect.BIG_T)
     assert bool(valid[0]) and int(idx[0]) == 0
 
 
@@ -123,7 +123,7 @@ def test_traversal_matches_brute_force(rng):
     R = 512
     o = jnp.asarray(rng.normal(0, 5, (R, 3)).astype(np.float32))
     d = jnp.asarray(rng.normal(0, 1, (R, 3)).astype(np.float32))
-    idx_t, val_t = traversal.traverse(nodes, o, d, 1e-3, intersect.BIG_T)
+    idx_t, _, val_t = traversal.traverse(nodes, o, d, 1e-3, intersect.BIG_T)
     idx_b, _, val_b = intersect.brute_force_closest(scene, o, d, 1e-3,
                                                     intersect.BIG_T)
     np.testing.assert_array_equal(np.asarray(val_t), np.asarray(val_b))

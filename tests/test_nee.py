@@ -1,0 +1,91 @@
+"""Next-event estimation: unbiasedness vs naive sampling, occlusion, and
+no-double-counting (render/lights.py + integrator nee path)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.core.camera import make_camera
+from pathtracer_tpu.render import lights
+from pathtracer_tpu.render.renderer import render_image
+from pathtracer_tpu.scene.scene import SceneBuilder
+
+
+def _lit_scene(blocker=False):
+    """Lambertian ground sphere lit by a small emissive sphere overhead."""
+    b = SceneBuilder()
+    g = b.add_lambertian((0.7, 0.6, 0.5))
+    b.add_sphere((0, -100.5, -3), 100.0, g)
+    e = b.add_emissive((24.0, 20.0, 16.0))
+    b.add_sphere((0, 3.0, -3), 0.6, e)
+    if blocker:
+        blk = b.add_lambertian((0.1, 0.1, 0.1))
+        b.add_sphere((0, 1.2, -3), 0.8, blk)
+    cam = make_camera((0, 1.2, 2.0), (0, 0, -3), 55, 1.0, aperture=0,
+                      focus_dist=5)
+    return b.build(), cam
+
+
+BASE = RenderConfig(width=12, height=12, spp=8, max_depth=3, accel="brute",
+                    ray_chunk=144, sky=False, scene="test")
+
+
+def test_scene_light_list():
+    scene, _ = _lit_scene()
+    assert scene.num_lights == 1
+    assert int(scene.light_idx[0]) == 1  # the emissive sphere
+
+
+def test_sample_lights_geometry():
+    scene, _ = _lit_scene()
+    u = jax.random.uniform(jax.random.PRNGKey(0), (256, 3))
+    p, n, emit, pdf = lights.sample_lights(scene, u)
+    # all points on the light sphere surface
+    d = np.linalg.norm(np.asarray(p) - np.array([0, 3.0, -3]), axis=1)
+    np.testing.assert_allclose(d, 0.6, rtol=1e-5)
+    # normals unit + radial
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(n), axis=1), 1.0,
+                               rtol=1e-5)
+    area = 4 * np.pi * 0.6 ** 2
+    np.testing.assert_allclose(np.asarray(pdf), 1.0 / area, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(emit), np.tile([24.0, 20.0, 16.0], (256, 1)), rtol=1e-6)
+
+
+def test_nee_matches_naive_energy():
+    """NEE at 32 spp must agree with naive sampling at high spp — same
+    integral, different estimator (unbiasedness check in linear light)."""
+    scene, cam = _lit_scene()
+    naive = np.asarray(render_image(
+        scene, cam, BASE.replace(spp=3000, nee=False))) ** 2
+    with_nee = np.asarray(render_image(
+        scene, cam, BASE.replace(spp=32, nee=True))) ** 2
+    # compare scene-average radiance (the ground region dominates)
+    assert abs(with_nee.mean() - naive.mean()) / naive.mean() < 0.12, (
+        with_nee.mean(), naive.mean())
+
+
+def test_nee_occlusion():
+    """A blocker between ground and light kills the direct term."""
+    scene, cam = _lit_scene(blocker=True)
+    img = np.asarray(render_image(scene, cam,
+                                  BASE.replace(spp=32, nee=True)))
+    scene_open, _ = _lit_scene(blocker=False)
+    img_open = np.asarray(render_image(scene_open, cam,
+                                       BASE.replace(spp=32, nee=True)))
+    # shadowed scene is darker overall (the blocker kills direct light in
+    # its umbra; indirect + unshadowed ground keep the rest lit)
+    assert img.mean() < img_open.mean() * 0.92, (img.mean(), img_open.mean())
+
+
+def test_emissive_seen_directly_not_double_counted():
+    """Pixels that see the light directly must show ~emit with and without
+    NEE (camera rays always count emissive hits)."""
+    scene, cam = _lit_scene()
+    cam = make_camera((0, 3.0, 0.0), (0, 3.0, -3), 30, 1.0, aperture=0,
+                      focus_dist=3)
+    a = np.asarray(render_image(scene, cam, BASE.replace(spp=4, nee=False)))
+    b = np.asarray(render_image(scene, cam, BASE.replace(spp=4, nee=True)))
+    center = (slice(4, 8), slice(4, 8))
+    np.testing.assert_allclose(a[center], b[center], atol=1e-6)
+    assert a[center][..., 0].min() > 0.9  # bright light pixels (gamma'd)
