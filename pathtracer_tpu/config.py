@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
 
 # Reference defaults: utils/global_variables.h:24-31
 K_ASPECT_RATIO = 16.0 / 9.0

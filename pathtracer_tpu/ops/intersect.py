@@ -15,8 +15,6 @@ reference semantics are preserved:
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -26,9 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from pathtracer_tpu.accel.lbvh import LBVH
-from pathtracer_tpu.core import vec
 from pathtracer_tpu.ops import intersect
-from pathtracer_tpu.scene.scene import PRIM_SPHERE, PRIM_TRIANGLE, Scene
+from pathtracer_tpu.scene.scene import Scene
 
 
 class FatNodes(NamedTuple):

@@ -17,7 +17,7 @@ shading are differentiable — see ops/intersect.hit_records_from_prims.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ from __future__ import annotations
 import os
 from typing import Tuple
 
-import numpy as np
-
 from pathtracer_tpu.config import K_ASPECT_RATIO
 from pathtracer_tpu.core.camera import Camera, make_camera
 from pathtracer_tpu.io.obj import load_obj
