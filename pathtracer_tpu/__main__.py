@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="debug.png",
                    help="output PNG path (reference writes "
                         "../output2/debug.png)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file: accumulate spp in resumable "
+                        "chunks; re-running resumes where it stopped")
+    p.add_argument("--spp-per-pass", type=int, default=8,
+                   help="samples per device execution (bounds program "
+                        "runtime; long monolithic executions can trip the "
+                        "TPU watchdog)")
     p.add_argument("--interactive", action="store_true",
                    help="progressive terminal viewer with WASD/QE camera")
     p.add_argument("--platform", default=None,
@@ -99,10 +106,23 @@ def main(argv=None) -> int:
         return run_viewer(scene, cam, cfg)
 
     print(f"Rendering {cfg.scene}: {cfg.width}x{cfg.height}, "
-          f"{cfg.spp} spp, depth {cfg.max_depth}, accel={cfg.accel}")
+          f"{cfg.spp} spp, depth {cfg.max_depth}, accel={cfg.accel}"
+          + (", nee" if cfg.nee else ""))
     print("Start rendering!")
     start = time.perf_counter()
-    img = np.asarray(render_image(scene, cam, cfg))
+    if args.checkpoint or cfg.spp > args.spp_per_pass:
+        # bounded executions (+ optional resume): utils/checkpoint.py
+        from pathtracer_tpu.utils.checkpoint import render_with_checkpoints
+
+        def show(done, total):
+            print(f"  {done}/{total} spp "
+                  f"({time.perf_counter() - start:.1f}s)", flush=True)
+
+        img = render_with_checkpoints(scene, cam, cfg, args.checkpoint,
+                                      spp_per_chunk=args.spp_per_pass,
+                                      progress=show)
+    else:
+        img = np.asarray(render_image(scene, cam, cfg))
     duration = time.perf_counter() - start
     # "Time Cost" print, matching main.cu:476; plus a throughput line.
     print(f"Time Cost: {duration:.6g}")

@@ -75,7 +75,8 @@ def load_render_state(path: str, cfg: RenderConfig,
         return np.asarray(z["acc"]), int(z["next_sample"])
 
 
-def render_with_checkpoints(scene, cam, cfg: RenderConfig, path: str,
+def render_with_checkpoints(scene, cam, cfg: RenderConfig,
+                            path: Optional[str],
                             spp_per_chunk: int = 16, bvh=None,
                             progress=None) -> np.ndarray:
     """Render ``cfg.spp`` samples in resumable chunks.
@@ -85,6 +86,12 @@ def render_with_checkpoints(scene, cam, cfg: RenderConfig, path: str,
     is resumed from. The result is bit-identical to an uninterrupted render
     of the same config/seed because per-sample keys depend only on
     (seed, global sample index, pixel chunk) — see renderer.render_sum.
+
+    ``path=None`` skips persistence but keeps the bounded-execution shape:
+    each chunk is its own device program, so a multi-minute render never
+    runs as one monolithic execution (long executions can trip the TPU
+    runtime's watchdog and kill the worker — observed on the reference
+    800x450x100spp workload).
 
     Returns the gamma-2 image (H, W, 3) float32.
     """
@@ -104,7 +111,8 @@ def render_with_checkpoints(scene, cam, cfg: RenderConfig, path: str,
     rows0, cols0 = renderer_mod.padded_pixel_grid(cfg, chunk)
     n_padded = rows0.shape[0]
 
-    state = load_render_state(path, cfg, scene.num_prims)
+    state = (load_render_state(path, cfg, scene.num_prims)
+             if path is not None else None)
     if state is not None:
         acc_np, start = state
         assert acc_np.shape == (n_padded, 3)
@@ -126,7 +134,9 @@ def render_with_checkpoints(scene, cam, cfg: RenderConfig, path: str,
         n = min(spp_per_chunk, cfg.spp - s)
         acc = jax.block_until_ready(chunk_sum(acc, s, n))
         s += n
-        save_render_state(path, np.asarray(acc), s, cfg, scene.num_prims)
+        if path is not None:
+            save_render_state(path, np.asarray(acc), s, cfg,
+                              scene.num_prims)
         if progress is not None:
             progress(s, cfg.spp)
 
