@@ -53,7 +53,7 @@ def _sweep_kernel(phi_ref, a_ref, cols_ref, sph_ref, valid_ref,
     S = jax.lax.dot_general(
         phi_ref[:], cols_ref[0],
         (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=tensor_sweep.SWEEP_PRECISION,
         preferred_element_type=jnp.float32)
     t_eff = tensor_sweep._epilogue(
         S[:, 0:tile], S[:, tile:2 * tile],

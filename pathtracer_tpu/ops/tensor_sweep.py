@@ -49,6 +49,16 @@ FEAT = 12   # phi dimension
 OUTS = 4    # pair scalars per primitive
 BIG = 3.0e38  # python float: also usable inside Pallas kernels
 
+# Matmul precision for the sweep. HIGHEST (bf16x6) reproduces f32 exactly
+# and is the default; PT_SWEEP_PRECISION=default/high trades razor-edge hit
+# accuracy for MXU passes (perf experiments; see docs/DESIGN.md).
+import os as _os
+SWEEP_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("PT_SWEEP_PRECISION", "highest").lower()]
+
 
 class SweepTables(NamedTuple):
     """Packed per-primitive matmul columns + epilogue metadata."""
@@ -188,7 +198,7 @@ def tensor_closest(tables: SweepTables, o, d, t_min,
         cols, sph, valid_row, base = inputs
         S = jax.lax.dot_general(
             phi, cols, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=SWEEP_PRECISION,
             preferred_element_type=jnp.float32)
         t_eff = _epilogue(S[:, 0:tile], S[:, tile:2 * tile],
                           S[:, 2 * tile:3 * tile], S[:, 3 * tile:4 * tile],
