@@ -35,6 +35,7 @@ class HitRecords(NamedTuple):
     front_face: jnp.ndarray  # (N,) bool
     valid: jnp.ndarray      # (N,) bool — did the ray hit anything
     prim_id: jnp.ndarray    # (N,) int32 — which primitive (for diff re-eval)
+    prim_area: jnp.ndarray  # (N,) surface area of the hit prim (MIS pdfs)
 
 
 def set_face_normal(direction, outward_normal):

@@ -198,6 +198,13 @@ def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
                    jnp.stack([u, v], axis=-1),
                    jnp.zeros((idx.shape[0], 2), jnp.float32))
 
+    # surface area (sphere 4*pi*r^2 / triangle |e1 x e2|/2) — the area-pdf
+    # term for MIS against light sampling (render/lights.py)
+    area_sph = 4.0 * vec.PI * radius * radius
+    area_tri = 0.5 * vec.length(vec.cross(e1, e2))
+    prim_area = jnp.where(is_sphere, area_sph, area_tri)
+
     return rays_mod.HitRecords(
         p=p, normal=normal, mat_id=mat_id, t=t, uv=uv,
-        front_face=front_face, valid=valid, prim_id=idx)
+        front_face=front_face, valid=valid, prim_id=idx,
+        prim_area=prim_area)

