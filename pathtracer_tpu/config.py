@@ -54,9 +54,9 @@ class RenderConfig:
     accel: str = "tensor"
 
     # Wavefront execution shape: rays are processed in fixed-size chunks so
-    # HBM working-set stays bounded; samples are accumulated in passes.
+    # the HBM working-set stays bounded (samples accumulate in host-level
+    # passes — see utils/checkpoint.render_with_checkpoints).
     ray_chunk: int = 16384
-    samples_per_pass: int = 1
 
     # RNG seed for the stateless threefry keys (replaces curand seeding at
     # main.cu:420-422).

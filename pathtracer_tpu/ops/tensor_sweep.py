@@ -50,8 +50,10 @@ OUTS = 4    # pair scalars per primitive
 BIG = 3.0e38  # python float: also usable inside Pallas kernels
 
 # Matmul precision for the sweep. HIGHEST (bf16x6) reproduces f32 exactly
-# and is the default; PT_SWEEP_PRECISION=default/high trades razor-edge hit
-# accuracy for MXU passes (perf experiments; see docs/DESIGN.md).
+# and is the default. PT_SWEEP_PRECISION=default/high is EXPERIMENTAL: on
+# scenes with large coordinate extents (1000-radius backdrop spheres) the
+# low-precision pair scalars flip closest-hit winners and visibly corrupt
+# the image (docs/DESIGN.md).
 import os as _os
 SWEEP_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
