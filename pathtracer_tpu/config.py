@@ -41,6 +41,12 @@ class RenderConfig:
     # the Cornell configs, off by default for reference parity.
     nee: bool = False
 
+    # Stratified pixel sampling: jitter sample s within stratum s mod m^2 of
+    # an m x m sub-pixel grid (m = floor(sqrt(spp))) instead of the
+    # reference's uniform jitter (main.cu:284-285). Lower variance at equal
+    # spp; off by default for reference parity / golden stability.
+    stratify: bool = False
+
     # Reference quirk (main.cu:26-36): rays that exhaust max_depth without a
     # miss still return sky * attenuation. ``terminate_black=True`` switches
     # to the physically-correct black termination.

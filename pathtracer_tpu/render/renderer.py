@@ -83,17 +83,29 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
     h_inv = 1.0 / cfg.height
 
     closest = _make_closest(scene, bvh, cfg.t_min, cfg.accel)
+    # stratification grid (cfg.stratify): sample s jitters inside stratum
+    # (s mod m^2) of an m x m sub-pixel grid — same marginal distribution,
+    # lower variance. m derives from the configured total spp so sharded /
+    # checkpointed runs with sample offsets stay consistent.
+    m_strat = max(1, int(cfg.spp ** 0.5)) if cfg.stratify else 1
+    inv_m = 1.0 / m_strat
 
     def sample_pass(s, acc):
-        skey = jax.random.fold_in(base_key, sample_offset + s)
+        s_global = sample_offset + s
+        skey = jax.random.fold_in(base_key, s_global)
+        stratum = jnp.mod(s_global, m_strat * m_strat)
+        sx = jnp.mod(stratum, m_strat).astype(jnp.float32)
+        sy = (stratum // m_strat).astype(jnp.float32)
 
         def render_chunk(args):
             row, col = args
             pix0 = (row[0] * cfg.width + col[0]).astype(jnp.int32)
             ckey = jax.random.fold_in(skey, pix0)
             pkey, tkey, lkey1, lkey2 = jax.random.split(ckey, 4)
-            # pixel jitter (main.cu:284-285)
+            # pixel jitter (main.cu:284-285), optionally stratified
             xi = jax.random.uniform(pkey, (2, chunk), jnp.float32)
+            if m_strat > 1:
+                xi = jnp.stack([(sx + xi[0]) * inv_m, (sy + xi[1]) * inv_m])
             u = (col + xi[0]) * w_inv
             v = (row + xi[1]) * h_inv
             u_disk = jax.random.uniform(lkey1, (2, chunk), jnp.float32)

@@ -176,3 +176,20 @@ def test_while_and_scan_bounce_loops_identical():
     diff = integrator.trace(scene, o, d, jnp.zeros(n), key, 16, closest,
                             differentiable=True)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(diff))
+
+
+def test_stratified_sampling_lower_variance():
+    """cfg.stratify: same mean image, lower pixel variance at equal spp
+    (jitter within sub-pixel strata instead of uniform)."""
+    scene, cam = get_world("test")
+    base = RenderConfig(width=24, height=16, spp=16, max_depth=3,
+                        accel="brute", ray_chunk=384, scene="test")
+    ref = np.asarray(render_image(scene, cam, base.replace(spp=512))) ** 2
+
+    def mse(cfg, seed):
+        img = np.asarray(render_image(scene, cam, cfg, seed=seed)) ** 2
+        return float(((img - ref) ** 2).mean())
+
+    plain = np.mean([mse(base, s) for s in range(4)])
+    strat = np.mean([mse(base.replace(stratify=True), s) for s in range(4)])
+    assert strat < plain, (strat, plain)
