@@ -57,3 +57,28 @@ def test_spp_not_divisible_raises():
     mesh = make_mesh(jax.devices()[:8], spp_axis_size=2)
     with pytest.raises(ValueError):
         make_sharded_renderer(CFG.replace(spp=3), mesh)
+
+
+def test_sharded_nee_matches_single_chip():
+    """Config-5 composition: NEE + sharded rendering. Shadow rays and light
+    sampling run per-device inside shard_map; result matches single-chip."""
+    from pathtracer_tpu.scene.scene import SceneBuilder
+    from pathtracer_tpu.core.camera import make_camera
+
+    b = SceneBuilder()
+    g = b.add_lambertian((0.7, 0.6, 0.5))
+    b.add_sphere((0, -100.5, -3), 100.0, g)
+    e = b.add_emissive((24.0, 20.0, 16.0))
+    b.add_sphere((0, 3.0, -3), 0.6, e)
+    scene = b.build()
+    cam = make_camera((0, 1.2, 2.0), (0, 0, -3), 55, 2.0, aperture=0,
+                      focus_dist=5)
+
+    cfg = RenderConfig(width=32, height=16, spp=2, max_depth=3,
+                       accel="tensor", ray_chunk=64, sky=False, nee=True,
+                       scene="test")
+    single = make_renderer(cfg, with_bvh=False)(scene, None, cam, 9)
+    mesh = make_mesh(jax.devices()[:8], spp_axis_size=2)
+    sharded = make_sharded_renderer(cfg, mesh)(scene, None, cam, 9)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5)
