@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu, tpu); wins over "
                         "site-level JAX_PLATFORMS overrides")
+    p.add_argument("--mesh", default=None,
+                   help="render sharded over a device mesh: '8' (rays only) "
+                        "or '4x2' (rays x spp axes); config-5 path")
+    p.add_argument("--host-devices", type=int, default=None,
+                   help="with --platform cpu: number of virtual host "
+                        "devices (for testing --mesh without a pod)")
     p.add_argument("--preset", default=None,
                    help="named BASELINE config (cornell-direct / "
                         "cornell-full / cornell-diff / bunny / "
@@ -64,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.host_devices:
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}")
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -110,7 +121,19 @@ def main(argv=None) -> int:
           + (", nee" if cfg.nee else ""))
     print("Start rendering!")
     start = time.perf_counter()
-    if args.checkpoint or cfg.spp > args.spp_per_pass:
+    if args.mesh:
+        # sharded whole-image render (parallel/sharded.py); one device
+        # program — prefer proxy scales for very large spp
+        import jax
+        from pathtracer_tpu.parallel import make_mesh, sharded_render_image
+        parts = args.mesh.lower().split("x")
+        rays_n = int(parts[0])
+        spp_n = int(parts[1]) if len(parts) > 1 else 1
+        mesh = make_mesh(jax.devices()[:rays_n * spp_n],
+                         spp_axis_size=spp_n)
+        print(f"mesh: {dict(mesh.shape)}")
+        img = np.asarray(sharded_render_image(scene, cam, cfg, mesh))
+    elif args.checkpoint or cfg.spp > args.spp_per_pass:
         # bounded executions (+ optional resume): utils/checkpoint.py
         from pathtracer_tpu.utils.checkpoint import render_with_checkpoints
 
