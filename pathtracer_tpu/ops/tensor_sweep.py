@@ -53,7 +53,8 @@ BIG = 3.0e38  # python float: also usable inside Pallas kernels
 # and is the default. PT_SWEEP_PRECISION=default/high is EXPERIMENTAL: on
 # scenes with large coordinate extents (1000-radius backdrop spheres) the
 # low-precision pair scalars flip closest-hit winners and visibly corrupt
-# the image (docs/DESIGN.md).
+# the image (docs/DESIGN.md). "high" applies to the XLA tensor path only —
+# Mosaic rejects Precision.HIGH inside Pallas kernels.
 import os as _os
 SWEEP_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
