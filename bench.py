@@ -31,7 +31,7 @@ def main() -> int:
     p.add_argument("--accel", default="pallas",
                    choices=["tensor", "pallas", "bvh", "brute"])
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--ray-chunk", type=int, default=57600)
+    p.add_argument("--ray-chunk", type=int, default=14400)
     args = p.parse_args()
 
     import jax
