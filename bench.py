@@ -28,8 +28,8 @@ def main() -> int:
     p.add_argument("--spp", type=int, default=8)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--scene", default="bunny")
-    p.add_argument("--accel", default="pallas",
-                   choices=["tensor", "pallas", "bvh", "brute"])
+    p.add_argument("--accel", default="cluster",
+                   choices=["cluster", "tensor", "pallas", "bvh", "brute"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--ray-chunk", type=int, default=14400)
     args = p.parse_args()

@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp", type=int, default=100)
     p.add_argument("--max-depth", type=int, default=50)
     p.add_argument("--accel", default="tensor",
-                   choices=["tensor", "pallas", "bvh", "brute"])
+                   choices=["cluster", "tensor", "pallas", "bvh", "brute"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ray-chunk", type=int, default=16384)
     p.add_argument("--no-sky", action="store_true",

@@ -52,11 +52,14 @@ class RenderConfig:
     # to the physically-correct black termination.
     terminate_black: bool = False
 
-    # Acceleration structure: "tensor" (dense MXU matmul sweep —
-    # ops/tensor_sweep.py, the TPU-native default), "pallas" (the same sweep
-    # fused into one Pallas kernel — ops/pallas_sweep.py), "bvh" (LBVH
-    # threaded traversal), or "brute" (linear scan over primitives — the
-    # reference's own fallback, render_manager.h:71-84).
+    # Acceleration structure: "cluster" (morton-cluster culling + ray
+    # binning by sort + windowed Pallas sweeps — ops/cluster_sweep.py, the
+    # sub-linear production path), "tensor" (dense MXU matmul sweep —
+    # ops/tensor_sweep.py), "pallas" (the dense sweep fused into one Pallas
+    # kernel — ops/pallas_sweep.py), "bvh" (LBVH threaded traversal,
+    # correctness cross-check only — ~0.02 Mrays/s on TPU, docs/DESIGN.md),
+    # or "brute" (linear scan over primitives — the reference's own
+    # fallback, render_manager.h:71-84).
     accel: str = "tensor"
 
     # Wavefront execution shape: rays are processed in fixed-size chunks so
@@ -74,7 +77,7 @@ class RenderConfig:
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
             raise ValueError("frame size must be positive")
-        if self.accel not in ("tensor", "pallas", "bvh", "brute"):
+        if self.accel not in ("cluster", "tensor", "pallas", "bvh", "brute"):
             raise ValueError(f"unknown accel {self.accel!r}")
 
     @property

@@ -1,0 +1,366 @@
+"""Cluster-culled closest-hit: ray binning by sort + windowed Pallas sweeps.
+
+This is the TPU answer to the reference's sub-linear BVH traversal
+(``utils/render_manager.h:86-135``): instead of a per-ray stack walk
+(serialized pointer-chasing on TPU, docs/DESIGN.md), rays are *binned by
+sort* against morton clusters of primitives (ops/clusters.py) and each
+128-ray chunk sweeps only a small window of clusters with the fused
+matmul+epilogue kernel — the dense O(R*N) sweep becomes ~O(R*(C + W*K)).
+
+Query pipeline (all static shapes, jit-compatible):
+
+1. **residual pass** — every ray densely sweeps the residual tile (huge
+   prims + padding; one K-wide kernel pass).
+2. **cull** — slab-test every ray against the C_reg cluster AABBs
+   ((R, C) dense VPU work; C is tiny). Gives each ray a conservative entry
+   distance per cluster; clusters the ray's AABB test misses, or whose
+   entry lies beyond the ray's current best hit, are *provably* irrelevant.
+3. **march rounds** (``lax.while_loop``): each round sorts rays by
+   (resolved, nearest-unprocessed-cluster), takes per-chunk window starts
+   from the sorted keys, and runs the windowed kernel — chunks whose rays
+   are all resolved are skipped inside the kernel (this is also the
+   inter-bounce wavefront compaction: terminated rays are handed to this
+   query with d == 0, resolve instantly, and sort into skipped chunks).
+   A per-ray bitset tracks processed clusters; a ray is resolved when no
+   unprocessed cluster's entry distance can beat its best hit. The chunk's
+   minimum key always lies inside its window, so every round retires at
+   least one ray per unresolved chunk (termination).
+4. **fallback** — after ``max_rounds``, any still-unresolved rays (rare:
+   pathological cluster overlap) are compacted by one more sort and swept
+   against *all* clusters; the pass is skipped entirely when the march
+   resolved everything.
+5. **unsort** — results return to caller ray order by sorting on ray id.
+
+Exactness: the windowed results equal the dense sweep's because a ray is
+only marked resolved when ``best_t`` is provably ahead of every unswept
+cluster (entry distances get a small conservative margin for the ulp
+difference between slab and epilogue arithmetic), and the fallback closes
+the remainder. Ties between *different* primitives at bit-equal t may pick
+a different winner than the dense sweep's lowest-index rule (measure zero).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer_tpu.core import vec
+from pathtracer_tpu.ops import tensor_sweep
+from pathtracer_tpu.ops.clusters import ClusterTables, build_cluster_tables
+from pathtracer_tpu.ops.tensor_sweep import BIG, FEAT, OUTS, ray_features
+
+DEF_RAY_TILE = 128
+DEF_WINDOW = 4       # clusters per march-round window
+DEF_MAX_ROUNDS = 6
+_RESOLVED_KEY = jnp.int32(0x3FFFFFFF)
+
+# Conservative shrink applied to cluster entry distances before they gate
+# resolution: slab-test and matmul-epilogue arithmetic differ at ulp level,
+# so a hit exactly on a cluster boundary could otherwise be ordered wrongly.
+_ENTRY_MARGIN = 1e-4
+
+
+def _window_kernel(starts_ref, skips_ref, phi_ref, a_ref, cols_ref, sph_ref,
+                   valid_ref, t_ref, best_ref, *, K, W, t_min):
+    """Sweep W consecutive clusters (starting at starts[i]) for ray chunk i.
+
+    Outputs are the chunk's best (t, reordered-prim index) over the window
+    only; the caller merges across rounds. Skipped chunks write the identity
+    (BIG, -1)."""
+    i = pl.program_id(0)
+    t_ref[0, 0] = jnp.full((phi_ref.shape[0],), BIG, jnp.float32)
+    best_ref[0, 0] = jnp.full((phi_ref.shape[0],), -1, jnp.int32)
+
+    @pl.when(skips_ref[i] == 0)
+    def _():
+        phi = phi_ref[:]
+        a = a_ref[0, 0]
+        start = starts_ref[i]
+
+        def step(j, carry):
+            t_acc, b_acc = carry
+            c = start + j
+            blk = cols_ref[pl.ds(c, 1), :, :][0]
+            S = jax.lax.dot_general(
+                phi, blk, (((1,), (0,)), ((), ())),
+                precision=tensor_sweep.SWEEP_PRECISION,
+                preferred_element_type=jnp.float32)
+            sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
+            valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
+            t_eff = tensor_sweep._epilogue(
+                S[:, 0:K], S[:, K:2 * K], S[:, 2 * K:3 * K],
+                S[:, 3 * K:4 * K], a, sph != 0, valid != 0, t_min, BIG)
+            local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
+            local_t = jnp.min(t_eff, axis=1)
+            better = local_t < t_acc
+            b_acc = jnp.where(better, c * K + local_j, b_acc)
+            t_acc = jnp.where(better, local_t, t_acc)
+            return t_acc, b_acc
+
+        t0 = jnp.full((phi_ref.shape[0],), BIG, jnp.float32)
+        b0 = jnp.full((phi_ref.shape[0],), -1, jnp.int32)
+        t_acc, b_acc = jax.lax.fori_loop(0, W, step, (t0, b0))
+        t_ref[0, 0] = t_acc
+        best_ref[0, 0] = b_acc
+
+
+def _window_pass(ct: ClusterTables, phi, a, starts, skips, W, t_min,
+                 ray_tile):
+    """One pallas launch of the windowed kernel over all chunks."""
+    n_chunks = starts.shape[0]
+    K = ct.K
+    a3 = a.reshape(n_chunks, 1, ray_tile)
+    C_tot = ct.cols.shape[0]
+
+    kernel = functools.partial(_window_kernel, K=K, W=W, t_min=float(t_min))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((ray_tile, FEAT), lambda i, s, k: (i, 0)),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, s, k: (i, 0, 0)),
+            pl.BlockSpec((C_tot, FEAT, OUTS * K),
+                         lambda i, s, k: (0, 0, 0)),
+            pl.BlockSpec((C_tot, 1, K), lambda i, s, k: (0, 0, 0)),
+            pl.BlockSpec((C_tot, 1, K), lambda i, s, k: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ray_tile), lambda i, s, k: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, s, k: (i, 0, 0)),
+        ],
+    )
+    t_w, b_w = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(starts, skips, phi, a3, ct.cols, ct.is_sphere, ct.valid_row)
+    return t_w.reshape(-1), b_w.reshape(-1)
+
+
+def _cull(o, d, active, cmin, cmax, t_min):
+    """Conservative per-(ray, cluster) entry distances, (R, C_reg) f32.
+
+    BIG where the ray's slab test misses the cluster AABB (or the ray is
+    inactive). Entry distances are clamped below by t_min and shrunk by a
+    small margin so they remain a strict lower bound on any accepted hit t
+    inside the cluster (see module docstring). NaN-dropping running selects
+    reproduce the reference aabb semantics (utils/aabb.h:21-34) so d == 0
+    components are safe."""
+    inv = 1.0 / d                                     # (R, 3), +-inf ok
+    shape = (o.shape[0], cmin.shape[0])
+    tn = jnp.full(shape, t_min, jnp.float32)
+    tf = jnp.full(shape, BIG, jnp.float32)
+    # per-axis (R, C) temporaries only — never materialize (R, C, 3)
+    for ax in range(3):
+        inv_ax = inv[:, ax:ax + 1]
+        lo = (cmin[None, :, ax] - o[:, ax:ax + 1]) * inv_ax
+        hi = (cmax[None, :, ax] - o[:, ax:ax + 1]) * inv_ax
+        swap = inv_ax < 0.0
+        near = jnp.where(swap, hi, lo)
+        far = jnp.where(swap, lo, hi)
+        tn = jnp.where(near > tn, near, tn)
+        tf = jnp.where(far < tf, far, tf)
+    hit = ~(tf < tn) & active[:, None]
+    entry = tn - (_ENTRY_MARGIN * jnp.abs(tn) + 1e-6)
+    return jnp.where(hit, entry, BIG)
+
+
+def _expand_mask(words, C_reg):
+    """(R, nw) uint32 bitset -> (R, C_reg) bool of processed clusters."""
+    rep = jnp.repeat(words, 32, axis=1)[:, :C_reg]
+    shifts = jnp.tile(jnp.arange(32, dtype=jnp.uint32),
+                      words.shape[1])[:C_reg]
+    return ((rep >> shifts[None, :]) & jnp.uint32(1)) != 0
+
+
+def _window_bits(start, W, nw):
+    """uint32 words with bits [start, start+W) set; start is (R,) int32."""
+    out = []
+    for w in range(nw):
+        lo = jnp.clip(start - 32 * w, 0, 32)
+        hi = jnp.clip(start + W - 32 * w, 0, 32)
+
+        def below(n):
+            full = n >= 32
+            return jnp.where(full, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << jnp.clip(n, 0, 31)
+                              .astype(jnp.uint32)) - jnp.uint32(1))
+
+        out.append(below(hi) ^ below(lo))
+    return jnp.stack(out, axis=1)
+
+
+def _key_and_resolved(entry, processed, t_best):
+    """Nearest unprocessed beatable cluster per ray (+ resolved flag)."""
+    cand = jnp.where(processed | (entry >= t_best[:, None]), BIG, entry)
+    m = jnp.min(cand, axis=1)
+    key = jnp.argmin(cand, axis=1).astype(jnp.int32)
+    resolved = m >= BIG * 0.5
+    return jnp.where(resolved, _RESOLVED_KEY, key), resolved
+
+
+def cluster_closest(ct: ClusterTables, o, d, t_min,
+                    ray_tile: int = DEF_RAY_TILE,
+                    window: int = DEF_WINDOW,
+                    max_rounds: int = DEF_MAX_ROUNDS,
+                    sort_rays: bool = True,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Culled closest-hit: (prim_idx, t, valid), each (R,).
+
+    ``prim_idx`` indexes the *reordered* scene in ``ct.scene`` (use it with
+    that scene; ``ct.perm`` maps back to original rows). Rays with d == 0
+    resolve instantly as misses — callers use this to retire terminated
+    wavefront lanes (render/integrator.py).
+    """
+    r = o.shape[0]
+    C_reg = ct.C_reg
+    W = min(window, C_reg)
+    r_pad = -(-r // ray_tile) * ray_tile
+    n_chunks = r_pad // ray_tile
+    nw = -(-C_reg // 32)
+
+    if r_pad != r:
+        o = jnp.pad(o, ((0, r_pad - r), (0, 0)))
+        d = jnp.pad(d, ((0, r_pad - r), (0, 0)))
+
+    active = jnp.any(d != 0.0, axis=1)
+    t_min = float(t_min)
+
+    def phi_a(o_, d_):
+        phi = ray_features(o_, d_)
+        a = vec.dot(d_, d_)
+        # inactive rays: phi rows are harmless, but a == 0 would NaN the
+        # sphere roots; a = 1 with d = 0 makes every test reject cleanly
+        # (same trick as ops/pallas_sweep padding).
+        return phi, jnp.where(a == 0.0, 1.0, a)
+
+    # ---- phase 1: residual tile, every ray exactly once -------------------
+    phi, a = phi_a(o, d)
+    res_starts = jnp.full((n_chunks,), C_reg, jnp.int32)
+    chunk_dead = jnp.all(~active.reshape(n_chunks, ray_tile), axis=1)
+    t_best, best = _window_pass(ct, phi, a, res_starts,
+                                chunk_dead.astype(jnp.int32), 1, t_min,
+                                ray_tile)
+
+    # ---- phase 2: cull + march --------------------------------------------
+    entry = _cull(o, d, active, ct.cmin, ct.cmax, t_min)
+    words0 = jnp.zeros((r_pad, nw), jnp.uint32)
+    key, resolved = _key_and_resolved(entry, jnp.zeros_like(entry, bool),
+                                      t_best)
+    rid = jnp.arange(r_pad, dtype=jnp.int32)
+
+    def round_body(state):
+        rounds, o_, d_, t_b, b_, words, rid_, key_, resolved_ = state
+        if sort_rays:
+            ops = jax.lax.sort(
+                [key_, o_[:, 0], o_[:, 1], o_[:, 2],
+                 d_[:, 0], d_[:, 1], d_[:, 2], t_b, b_, rid_]
+                + [words[:, w] for w in range(nw)],
+                num_keys=1, is_stable=True)
+            key_ = ops[0]
+            o_ = jnp.stack(ops[1:4], axis=1)
+            d_ = jnp.stack(ops[4:7], axis=1)
+            t_b, b_, rid_ = ops[7], ops[8], ops[9]
+            words = jnp.stack(ops[10:10 + nw], axis=1)
+
+        key_c = key_.reshape(n_chunks, ray_tile)
+        chunk_min = jnp.min(key_c, axis=1)
+        skip = (chunk_min >= _RESOLVED_KEY).astype(jnp.int32)
+        starts = jnp.clip(chunk_min, 0, max(C_reg - W, 0))
+
+        phi_, a_ = phi_a(o_, d_)
+        t_w, b_w = _window_pass(ct, phi_, a_, starts, skip, W, t_min,
+                                ray_tile)
+        better = t_w < t_b
+        t_b = jnp.where(better, t_w, t_b)
+        b_ = jnp.where(better, b_w, b_)
+
+        start_r = jnp.repeat(starts, ray_tile)
+        upd = jnp.repeat(skip == 0, ray_tile)
+        words = jnp.where(upd[:, None],
+                          words | _window_bits(start_r, W, nw), words)
+
+        entry_ = _cull(o_, d_, jnp.any(d_ != 0.0, axis=1), ct.cmin,
+                       ct.cmax, t_min)
+        key_, resolved_ = _key_and_resolved(entry_, _expand_mask(words,
+                                                                 C_reg),
+                                            t_b)
+        return (rounds + 1, o_, d_, t_b, b_, words, rid_, key_, resolved_)
+
+    def round_cond(state):
+        rounds = state[0]
+        resolved_ = state[-1]
+        return (rounds < max_rounds) & jnp.any(~resolved_)
+
+    state = (jnp.int32(0), o, d, t_best, best, words0, rid, key, resolved)
+    _, o, d, t_best, best, words, rid, key, resolved = jax.lax.while_loop(
+        round_cond, round_body, state)
+
+    # ---- phase 3: exact fallback for stragglers ---------------------------
+    def fallback(args):
+        o_, d_, t_b, b_, rid_, resolved_ = args
+        skey = resolved_.astype(jnp.int32)
+        if sort_rays:
+            # compact unresolved rays into leading chunks
+            ops = jax.lax.sort(
+                [skey, o_[:, 0], o_[:, 1], o_[:, 2],
+                 d_[:, 0], d_[:, 1], d_[:, 2], t_b, b_, rid_],
+                num_keys=1, is_stable=True)
+            skey = ops[0]
+            o_ = jnp.stack(ops[1:4], axis=1)
+            d_ = jnp.stack(ops[4:7], axis=1)
+            t_b, b_, rid_ = ops[7], ops[8], ops[9]
+        skip = jnp.all(skey.reshape(n_chunks, ray_tile) == 1,
+                       axis=1).astype(jnp.int32)
+        phi_, a_ = phi_a(o_, d_)
+        t_w, b_w = _window_pass(ct, phi_, a_,
+                                jnp.zeros((n_chunks,), jnp.int32), skip,
+                                C_reg, t_min, ray_tile)
+        better = t_w < t_b
+        return (jnp.where(better, t_w, t_b), jnp.where(better, b_w, b_),
+                rid_)
+
+    t_best, best, rid = jax.lax.cond(
+        jnp.any(~resolved), fallback,
+        lambda args: (args[2], args[3], args[4]),
+        (o, d, t_best, best, rid, resolved))
+
+    # ---- unsort back to caller ray order ----------------------------------
+    if sort_rays:
+        rid, t_best, best = jax.lax.sort([rid, t_best, best], num_keys=1)
+    t_best = t_best[:r]
+    best = best[:r]
+    found = best >= 0
+    return jnp.where(found, best, 0), t_best, found
+
+
+def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
+                             ray_tile: int = DEF_RAY_TILE,
+                             window: int = DEF_WINDOW,
+                             max_rounds: int = DEF_MAX_ROUNDS,
+                             sort_rays: bool = True):
+    """Closest-hit factory over prebuilt (detached) cluster tables.
+
+    Indices refer to ``ct.scene`` (the reordered scene) — the renderer
+    shades with that scene (render/renderer.py), keeping the contract
+    identical to the tensor/pallas/bvh/brute factories."""
+    ct = jax.tree_util.tree_map(
+        lambda x: jax.lax.stop_gradient(x) if hasattr(x, "dtype") else x,
+        ct)
+
+    def closest(o, d):
+        return cluster_closest(ct, o, d, float(t_min), ray_tile=ray_tile,
+                               window=window, max_rounds=max_rounds,
+                               sort_rays=sort_rays)
+    # d == 0 rays resolve instantly — the integrator uses this to retire
+    # terminated wavefront lanes (render/integrator.py).
+    closest.handles_dead = True
+    return closest

@@ -86,6 +86,13 @@ def trace(scene: Scene,
     use_nee = bool(nee) and scene.num_lights > 0
     if use_nee:
         from pathtracer_tpu.render import lights as lights_mod
+    # Accel structures that resolve d == 0 rays instantly as misses (the
+    # cluster sweep) let us retire terminated lanes: zeroing a dead ray's
+    # query direction sorts it into a skipped chunk, so dead lanes cost ~0
+    # per bounce instead of riding every sweep (the wavefront-compaction
+    # answer to the reference's per-thread early break, main.cu:27-31).
+    # Results are identical either way: dead rays' hits are masked out.
+    handles_dead = getattr(closest_hit_fn, "handles_dead", False)
 
     def bounce_step(depth, carry):
         o, d, atten, alive, absorbed, emitted_acc, spec_prev, prev_pdf = carry
@@ -93,8 +100,9 @@ def trace(scene: Scene,
         uniforms = jax.random.uniform(bkey, (n_rays, 6), jnp.float32)
 
         # Visibility query on detached geometry (discrete winner index).
+        d_query = jnp.where(alive[:, None], d, 0.0) if handles_dead else d
         idx, _, hit_valid = closest_hit_fn(jax.lax.stop_gradient(o),
-                                           jax.lax.stop_gradient(d))
+                                           jax.lax.stop_gradient(d_query))
         rec = intersect.hit_records_from_prims(
             scene, idx, o, d, jnp.float32(t_min), intersect.BIG_T, hit_valid)
 
@@ -125,10 +133,11 @@ def trace(scene: Scene,
             # unchanged (golden-image stability)
             u_nee = jax.random.uniform(jax.random.fold_in(bkey, 1),
                                        (n_rays, 3), jnp.float32)
+            take_direct = step & sc.is_diffuse
             direct, _ = lights_mod.direct_lighting(
                 scene, rec.p, rec.normal, sc.attenuation, closest_hit_fn,
-                u_nee, eps=t_min)
-            take_direct = step & sc.is_diffuse
+                u_nee, eps=t_min,
+                active=take_direct if handles_dead else None)
             emitted_acc = emitted_acc + jnp.where(
                 take_direct[:, None], atten * direct, 0.0)
             spec_prev = jnp.where(step, sc.is_specular, spec_prev)

@@ -83,7 +83,7 @@ def sample_lights(scene: Scene, u: jnp.ndarray
 
 
 def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
-                    u, eps: float = 1e-3, mis: bool = True):
+                    u, eps: float = 1e-3, mis: bool = True, active=None):
     """One-sample NEE estimate of direct radiance at a lambertian hit.
 
     L = w * f * cos_s * cos_l * emit / (dist^2 * pdf_area), f = albedo / pi,
@@ -92,19 +92,28 @@ def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
     hits, so light-through-specular paths stop being firefly-only).
     The shadow ray uses the *unnormalized* segment as its direction, so the
     light point sits at t == 1: any accepted hit with t < 1 - eps occludes.
+    ``active`` (optional (R,) bool): rays whose result the caller will
+    discard are queried with d == 0 so dead-ray-aware accel structures
+    (cluster sweep) retire them for free.
     Returns (radiance (R,3), valid (R,) bool).
     """
     import jax
 
     point, n_l, emit, pdf = sample_lights(scene, u)
-    seg = point - rec_p
+    # Absolute self-intersection offset along the shading normal: the
+    # unnormalized segment direction makes the accel's parametric t_min a
+    # *proportional* ignore window (1e-3 x light distance), which at Cornell
+    # scale would skip real occluders within ~0.5 units of the surface.
+    origin = rec_p + eps * rec_normal
+    seg = point - origin
     dist2 = vec.dot(seg, seg)
     inv_dist = 1.0 / jnp.sqrt(jnp.maximum(dist2, 1e-12))
     cos_s = vec.dot(rec_normal, seg) * inv_dist
     cos_l = jnp.abs(vec.dot(n_l, seg)) * inv_dist  # double-sided emitter
 
-    _, t_sh, sh_valid = closest_hit_fn(jax.lax.stop_gradient(rec_p),
-                                       jax.lax.stop_gradient(seg))
+    seg_q = seg if active is None else jnp.where(active[:, None], seg, 0.0)
+    _, t_sh, sh_valid = closest_hit_fn(jax.lax.stop_gradient(origin),
+                                       jax.lax.stop_gradient(seg_q))
     unoccluded = (~sh_valid) | (t_sh >= 1.0 - eps)
 
     geom = cos_s * cos_l / (jnp.maximum(dist2, 1e-12) * pdf)

@@ -40,17 +40,26 @@ def _pixel_grid(width: int, height: int):
 def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
     """Pick the closest-hit query: the MXU tensor sweep (accel="tensor",
     TPU default), threaded-BVH traversal when a BVH is provided, or the
-    linear scan (render_manager.h:71-84 fallback)."""
+    linear scan (render_manager.h:71-84 fallback).
+
+    accel="cluster" additionally *reorders the scene* (morton clustering,
+    ops/clusters.py) and returns (closest, reordered_scene) — callers shade
+    with the returned scene so hit indices stay consistent."""
+    if accel == "cluster":
+        from pathtracer_tpu.ops.cluster_sweep import (
+            build_cluster_tables, make_cluster_closest_hit)
+        ct = build_cluster_tables(scene)
+        return make_cluster_closest_hit(ct, t_min), ct.scene
     if accel == "tensor":
         from pathtracer_tpu.ops.tensor_sweep import make_tensor_closest_hit
-        return make_tensor_closest_hit(scene, t_min)
+        return make_tensor_closest_hit(scene, t_min), scene
     if accel == "pallas":
         from pathtracer_tpu.ops.pallas_sweep import make_pallas_closest_hit
-        return make_pallas_closest_hit(scene, t_min)
+        return make_pallas_closest_hit(scene, t_min), scene
     if bvh is None:
-        return integrator.make_brute_closest_hit(scene, t_min)
+        return integrator.make_brute_closest_hit(scene, t_min), scene
     from pathtracer_tpu.ops.traversal import make_bvh_closest_hit
-    return make_bvh_closest_hit(scene, bvh, t_min)
+    return make_bvh_closest_hit(scene, bvh, t_min), scene
 
 
 def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
@@ -82,7 +91,7 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
     w_inv = 1.0 / cfg.width
     h_inv = 1.0 / cfg.height
 
-    closest = _make_closest(scene, bvh, cfg.t_min, cfg.accel)
+    closest, scene = _make_closest(scene, bvh, cfg.t_min, cfg.accel)
     # stratification grid (cfg.stratify): sample s jitters inside stratum
     # (s mod m^2) of an m x m sub-pixel grid — same marginal distribution,
     # lower variance. m derives from the configured total spp so sharded /

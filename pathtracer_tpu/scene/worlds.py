@@ -119,6 +119,9 @@ def random_world(seed: int = 2) -> Tuple[Scene, Camera]:
     return b.build(), cam
 
 
+# pytest would otherwise collect the imported factory as a "test"
+test_world.__test__ = False
+
 WORLDS = {
     "test": test_world,
     "triangle": triangle_world,

@@ -1,0 +1,174 @@
+"""Cluster-culled closest-hit (ops/clusters.py + ops/cluster_sweep.py).
+
+Cross-checks the culled/windowed/sorted query against the brute-force linear
+scan (the reference's own fallback semantics, render_manager.h:71-84) on the
+reference worlds — the same equality contract the tensor/pallas/bvh paths
+satisfy (tests/test_tensor_sweep.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.core.camera import get_rays
+from pathtracer_tpu.ops import intersect
+from pathtracer_tpu.ops.clusters import build_cluster_tables
+from pathtracer_tpu.ops.cluster_sweep import (cluster_closest,
+                                              make_cluster_closest_hit)
+from pathtracer_tpu.scene import worlds
+
+T_MIN = 1e-3
+
+
+def _camera_rays(scene_cam, n, key=0):
+    scene, cam = scene_cam
+    k = jax.random.PRNGKey(key)
+    u = jax.random.uniform(k, (4, n), jnp.float32)
+    o, d, _ = get_rays(cam, u[0], u[1], u[2], u[3],
+                       jnp.zeros(n, jnp.float32))
+    return scene, o, d
+
+
+def _check_vs_brute(scene, ct, o, d, **kw):
+    """Culled result must match the dense tensor sweep bit-exactly (same
+    per-pair epilogue arithmetic; only tie winners may differ), and brute
+    force loosely (the known matmul-vs-factored ulp divergence,
+    tests/test_tensor_sweep.py)."""
+    from pathtracer_tpu.ops import tensor_sweep
+    idx_c, t_c, v_c = cluster_closest(ct, o, d, T_MIN, **kw)
+    tables = tensor_sweep.pack_sweep_tables(ct.scene)
+    idx_t, t_t, v_t = tensor_sweep.tensor_closest(
+        tables, o, d, jnp.float32(T_MIN), intersect.BIG_T)
+    # Grazing sphere hits (disc = B^2 - a*C0 ~ 0) amplify ulp-level
+    # differences in the matmul lowering to ~1e-4 in t, so bit-exactness
+    # across *any* two computation paths is unattainable for those rays
+    # (the standalone kernel vs the XLA dot already differ); everything
+    # else must agree exactly.
+    v_c, v_t = np.asarray(v_c), np.asarray(v_t)
+    assert (v_c == v_t).mean() > 0.995
+    hit = v_c & v_t
+    np.testing.assert_allclose(np.asarray(t_c)[hit],
+                               np.asarray(t_t)[hit], rtol=2e-4)
+    exact = hit & (np.asarray(t_c) == np.asarray(t_t))
+    assert exact[hit].mean() > 0.9, \
+        "most hits must be bit-exact vs tensor sweep"
+    same_win = np.asarray(idx_c)[exact] == np.asarray(idx_t)[exact]
+    assert same_win.mean() > 0.999, "non-tie winner mismatch"
+    # loose brute-force sanity (factored-form arithmetic differs at ~1e-4
+    # relative on large-extent scenes — same bound the tensor tests use)
+    idx_b, t_b, v_b = intersect.brute_force_closest(
+        scene, o, d, jnp.float32(T_MIN), intersect.BIG_T)
+    assert (v_c == np.asarray(v_b)).mean() > 0.995
+    both = hit & np.asarray(v_b)
+    rel = np.abs(np.asarray(t_c)[both] - np.asarray(t_b)[both]) \
+        / np.abs(np.asarray(t_b)[both])
+    assert (rel < 1e-3).mean() > 0.99, rel.max()
+
+
+def test_build_invariants():
+    scene, _ = worlds.random_world(seed=7)
+    ct = build_cluster_tables(scene)
+    n0 = scene.num_prims
+    total = (ct.C_reg + 1) * ct.K
+    perm = np.asarray(ct.perm)
+    # a permutation: every original row appears exactly once
+    assert sorted(perm.tolist()) == list(range(total))
+    # reordered rows match the originals
+    v0_orig = np.asarray(scene.v0)
+    v0_new = np.asarray(ct.scene.v0)
+    real = perm < n0
+    np.testing.assert_array_equal(v0_new[real], v0_orig[perm[real]])
+    # cluster AABBs contain their member prims
+    bmin = np.asarray(ct.scene.box_min)[:ct.C_reg * ct.K]
+    bmax = np.asarray(ct.scene.box_max)[:ct.C_reg * ct.K]
+    cmin = np.asarray(ct.cmin)
+    cmax = np.asarray(ct.cmax)
+    k = ct.K
+    for c in range(ct.C_reg):
+        rows = slice(c * k, (c + 1) * k)
+        ok = bmin[rows, 0] <= bmax[rows, 0]  # skip inverted padding boxes
+        assert (bmin[rows][ok] >= cmin[c] - 1e-4).all()
+        assert (bmax[rows][ok] <= cmax[c] + 1e-4).all()
+    # the 1000-radius backdrop sphere is routed to the residual tile
+    radius = np.asarray(ct.scene.radius)
+    residual_rows = radius[ct.C_reg * ct.K:]
+    assert (np.abs(residual_rows) >= 999).any()
+    assert (np.abs(radius[:ct.C_reg * ct.K]) < 999).all()
+
+
+def test_lights_remapped():
+    scene, _ = worlds.get_world("cornell")
+    ct = build_cluster_tables(scene)
+    assert ct.scene.num_lights == scene.num_lights
+    old = np.sort(np.asarray(scene.prim_mat)[np.asarray(scene.light_idx)])
+    new = np.sort(
+        np.asarray(ct.scene.prim_mat)[np.asarray(ct.scene.light_idx)])
+    np.testing.assert_array_equal(old, new)
+
+
+@pytest.mark.parametrize("world", ["random", "triangle", "cornell"])
+def test_matches_brute_camera_rays(world):
+    scene, o, d = _camera_rays(worlds.get_world(world), 512, key=1)
+    ct = build_cluster_tables(scene)
+    _check_vs_brute(scene, ct, o, d)
+
+
+def test_matches_brute_unsorted_mode():
+    scene, o, d = _camera_rays(worlds.get_world("random"), 384, key=2)
+    ct = build_cluster_tables(scene)
+    _check_vs_brute(scene, ct, o, d, sort_rays=False)
+
+
+def test_matches_brute_forced_fallback():
+    # max_rounds=0 pushes every ray through the exact fallback pass
+    scene, o, d = _camera_rays(worlds.get_world("random"), 256, key=3)
+    ct = build_cluster_tables(scene)
+    _check_vs_brute(scene, ct, o, d, max_rounds=0)
+
+
+def test_matches_brute_incoherent_rays():
+    # random origins inside the scene ball, random directions — the
+    # worst-case (post-bounce) wavefront
+    scene, _ = worlds.random_world(seed=11)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    o = jax.random.uniform(k1, (512, 3), jnp.float32, -8.0, 8.0)
+    d = jax.random.normal(k2, (512, 3), jnp.float32)
+    ct = build_cluster_tables(scene)
+    _check_vs_brute(scene, ct, o, d)
+
+
+def test_dead_rays_resolve_as_miss():
+    scene, o, d = _camera_rays(worlds.get_world("random"), 256, key=5)
+    ct = build_cluster_tables(scene)
+    dead = (jnp.arange(256) % 3) == 0
+    d_m = jnp.where(dead[:, None], 0.0, d)
+    idx, t, valid = cluster_closest(ct, o, d_m, T_MIN)
+    assert not np.asarray(valid)[np.asarray(dead)].any()
+    # live lanes unaffected by dead neighbours
+    idx2, t2, valid2 = cluster_closest(ct, o, d, T_MIN)
+    live = ~np.asarray(dead)
+    np.testing.assert_array_equal(np.asarray(valid)[live],
+                                  np.asarray(valid2)[live])
+    np.testing.assert_array_equal(np.asarray(t)[live],
+                                  np.asarray(t2)[live])
+
+
+def test_render_image_cluster_matches_tensor():
+    from pathtracer_tpu.render.renderer import render_image
+    scene, cam = worlds.get_world("random")
+    base = RenderConfig(width=48, height=27, spp=2, max_depth=4,
+                        ray_chunk=48 * 27, scene="random")
+    img_t = np.asarray(render_image(scene, cam, base.replace(accel="tensor")))
+    img_c = np.asarray(
+        render_image(scene, cam, base.replace(accel="cluster")))
+    np.testing.assert_allclose(img_c, img_t, atol=1e-5)
+
+
+def test_factory_contract():
+    scene, o, d = _camera_rays(worlds.get_world("random"), 128, key=6)
+    ct = build_cluster_tables(scene)
+    closest = make_cluster_closest_hit(ct, T_MIN)
+    assert closest.handles_dead
+    idx, t, valid = jax.jit(closest)(o, d)
+    assert idx.shape == (128,) and t.shape == (128,) and valid.shape == (128,)
