@@ -3,10 +3,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload = BASELINE config 3 shape (bunny mesh + mirror + glass spheres,
-4 bounces, LBVH traversal). Throughput counts every closest-hit query the
-wavefront executes: pixels x spp x max_depth (the fixed-depth scan traverses
-every slot each bounce). Baseline = the 200 Mrays/s/chip north star from
-BASELINE.md (the reference publishes no numbers, SURVEY §6).
+4 bounces). "value" is the *nominal-workload* throughput — pixels x spp x
+max_depth queries over wall-clock — comparable across rounds and to the
+200 Mrays/s/chip north star (BASELINE.md; the reference publishes no
+numbers, SURVEY §6). The JSON line also reports the *executed* query count
+(the integrator counts queries that actually did work: early-exit and
+dead-ray compaction skip terminated lanes) and the Mrays/s over those, so
+termination-rate changes cannot masquerade as speed.
 
 Usage: python bench.py [--width W] [--height H] [--spp N] [--depth D]
                        [--scene bunny] [--iters K]
@@ -48,24 +51,30 @@ def main() -> int:
     bvh = None
     if args.accel == "bvh":
         bvh = jax.block_until_ready(build_lbvh(scene))
-    render = make_renderer(cfg, with_bvh=bvh is not None)
+    render = make_renderer(cfg, with_bvh=bvh is not None, with_stats=True)
 
     # warmup: compile + one steady-state run
-    jax.block_until_ready(render(scene, bvh, cam, 0))
+    img, n_exec = render(scene, bvh, cam, 0)
+    jax.block_until_ready(img)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
-        img = render(scene, bvh, cam, i + 1)
+        img, n_exec = render(scene, bvh, cam, i + 1)
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / args.iters
 
     rays = cfg.num_pixels * cfg.spp * cfg.max_depth
     mrays = rays / dt / 1e6
+    executed = int(n_exec)
     print(json.dumps({
         "metric": f"{args.scene}_forward_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "accel": args.accel,
+        "nominal_queries": rays,
+        "executed_queries": executed,
+        "executed_mrays_per_s": round(executed / dt / 1e6, 3),
     }))
     return 0
 

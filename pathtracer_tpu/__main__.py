@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation (sample area lights at "
                         "diffuse bounces; for emissive-lit scenes)")
+    p.add_argument("--rr", action="store_true",
+                   help="Russian-roulette termination after --rr-depth "
+                        "bounces (reference constants 0.8/1.25)")
+    p.add_argument("--rr-depth", type=int, default=3)
     p.add_argument("--terminate-black", action="store_true",
                    help="depth-exhausted rays return black instead of the "
                         "reference's sky*attenuation quirk")
@@ -107,6 +111,7 @@ def main(argv=None) -> int:
                                ray_chunk=args.ray_chunk, sky=sky,
                                nee=args.nee or args.scene == "cornell",
                                terminate_black=args.terminate_black,
+                               rr=args.rr, rr_depth=args.rr_depth,
                                scene=args.scene)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

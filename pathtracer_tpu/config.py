@@ -47,6 +47,13 @@ class RenderConfig:
     # spp; off by default for reference parity / golden stability.
     stratify: bool = False
 
+    # Russian-roulette path termination after ``rr_depth`` bounces, using
+    # the reference's shipped-but-unused constants (continue prob 0.8,
+    # survivor scale 1.25 — global_variables.h:38-41). Unbiased; cuts deep-
+    # path cost at depth-50 defaults. Off by default for reference parity.
+    rr: bool = False
+    rr_depth: int = 3
+
     # Reference quirk (main.cu:26-36): rays that exhaust max_depth without a
     # miss still return sky * attenuation. ``terminate_black=True`` switches
     # to the physically-correct black termination.

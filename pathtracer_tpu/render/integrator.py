@@ -30,6 +30,11 @@ from pathtracer_tpu.scene.scene import Scene
 SKY_WHITE = jnp.array([1.0, 1.0, 1.0], jnp.float32)
 SKY_BLUE = jnp.array([0.5, 0.7, 1.0], jnp.float32)
 
+# Russian-roulette constants the reference ships but never uses
+# (global_variables.h:39-41)
+K_RR_CONTINUE = 0.8
+K_RR_INV_CONTINUE = 1.25
+
 
 def sky_color(direction):
     """Vertical white->blue gradient on unit direction (main.cu:34-36)."""
@@ -59,8 +64,16 @@ def trace(scene: Scene,
           sky: bool = True,
           terminate_black: bool = False,
           differentiable: bool = False,
-          nee: bool = False):
-    """Trace a wavefront of rays to radiance. Returns (N, 3).
+          nee: bool = False,
+          with_stats: bool = False,
+          rr: bool = False,
+          rr_depth: int = 3):
+    """Trace a wavefront of rays to radiance. Returns (N, 3), or
+    ((N, 3), executed_queries) when ``with_stats`` — the number of
+    closest-hit queries that actually did work (dead-ray-aware accels skip
+    terminated lanes; others execute every lane each bounce), for honest
+    Mrays/s accounting in bench.py. int32: callers keep per-call workloads
+    under 2^31 queries (bench shapes are ~10^7).
 
     ``closest_hit_fn(o, d) -> (prim_idx, t, valid)`` is the pluggable
     acceleration structure (tensor / Pallas / BVH / brute). Its discrete
@@ -74,6 +87,12 @@ def trace(scene: Scene,
     the scan: extra iterations are no-ops once ``alive`` is all-False.
     ``differentiable=True`` uses a fixed-trip ``lax.scan`` (reverse-mode AD
     cannot cross a while_loop).
+
+    ``rr=True``: Russian-roulette path termination after ``rr_depth``
+    bounces with the reference's (shipped but unused) constants — continue
+    probability 0.8, survivor attenuation x1.25
+    (global_variables.h:38-41). Unbiased; with depth-50 defaults it retires
+    deep paths ~5x sooner at slightly higher variance per sample.
 
     ``nee=True`` (scenes with emissive lights): every diffuse bounce also
     samples one point on one light and casts a shadow ray (render/lights.py);
@@ -95,12 +114,15 @@ def trace(scene: Scene,
     handles_dead = getattr(closest_hit_fn, "handles_dead", False)
 
     def bounce_step(depth, carry):
-        o, d, atten, alive, absorbed, emitted_acc, spec_prev, prev_pdf = carry
+        (o, d, atten, alive, absorbed, emitted_acc, spec_prev, prev_pdf,
+         n_exec) = carry
         bkey = jax.random.fold_in(key, depth)
         uniforms = jax.random.uniform(bkey, (n_rays, 6), jnp.float32)
 
         # Visibility query on detached geometry (discrete winner index).
         d_query = jnp.where(alive[:, None], d, 0.0) if handles_dead else d
+        n_exec = n_exec + (jnp.sum(alive, dtype=jnp.int32)
+                           if handles_dead else jnp.int32(n_rays))
         idx, _, hit_valid = closest_hit_fn(jax.lax.stop_gradient(o),
                                            jax.lax.stop_gradient(d_query))
         rec = intersect.hit_records_from_prims(
@@ -128,33 +150,61 @@ def trace(scene: Scene,
 
         step = active & sc.ok & ~sc.is_emissive
 
+        if rr:
+            # kill is decided for the *continuation*; this bounce's own
+            # contributions (emission, NEE direct light) keep full weight
+            u_rr = jax.random.uniform(jax.random.fold_in(bkey, 2),
+                                      (n_rays,), jnp.float32)
+            roulette = depth >= rr_depth
+            killed = step & roulette & (u_rr >= K_RR_CONTINUE)
+            survived_scale = jnp.where(step & roulette & ~killed,
+                                       K_RR_INV_CONTINUE, 1.0)
+        else:
+            killed = jnp.zeros((n_rays,), bool)
+            survived_scale = jnp.ones((n_rays,), jnp.float32)
+
         if use_nee:
             # separate folded key so the legacy (non-NEE) sample streams are
             # unchanged (golden-image stability)
             u_nee = jax.random.uniform(jax.random.fold_in(bkey, 1),
                                        (n_rays, 3), jnp.float32)
-            take_direct = step & sc.is_diffuse
+            take_direct = step & (sc.is_diffuse | sc.is_glossy)
+            n_exec = n_exec + (jnp.sum(take_direct, dtype=jnp.int32)
+                               if handles_dead else jnp.int32(n_rays))
             direct, _ = lights_mod.direct_lighting(
                 scene, rec.p, rec.normal, sc.attenuation, closest_hit_fn,
                 u_nee, eps=t_min,
-                active=take_direct if handles_dead else None)
+                active=take_direct if handles_dead else None,
+                glossy=(sc.is_glossy, sc.glossy_r, sc.fuzz))
             emitted_acc = emitted_acc + jnp.where(
                 take_direct[:, None], atten * direct, 0.0)
-            spec_prev = jnp.where(step, sc.is_specular, spec_prev)
+            # fuzzy metal has a finite lobe -> it MIS-weights emissive hits
+            # like diffuse; only delta lobes (fuzz-0 metal, dielectric)
+            # keep full emissive weight
+            spec_prev = jnp.where(step, sc.is_specular & ~sc.is_glossy,
+                                  spec_prev)
             # solid-angle pdf of the direction this bounce sampled
-            # (cosine lobe for lambertian; unused under spec_prev)
-            new_cos = jnp.maximum(
-                vec.dot(rec.normal, vec.safe_normalize(sc.direction)), 0.0)
-            prev_pdf = jnp.where(step & sc.is_diffuse,
-                                 new_cos * vec.PI_INV, prev_pdf)
+            # (cosine lobe for lambertian, metal lobe for fuzzy metal;
+            # unused under spec_prev)
+            w_new = vec.safe_normalize(sc.direction)
+            new_cos = jnp.maximum(vec.dot(rec.normal, w_new), 0.0)
+            p_new = jnp.where(sc.is_glossy,
+                              lights_mod.metal_lobe_pdf(w_new, sc.glossy_r,
+                                                        sc.fuzz),
+                              new_cos * vec.PI_INV)
+            prev_pdf = jnp.where(step & take_direct, p_new, prev_pdf)
 
+        step = step & ~killed
+        absorbed = absorbed | killed
         o = jnp.where(step[:, None], rec.p, o)
         d = jnp.where(step[:, None], sc.direction, d)
-        atten = jnp.where(step[:, None], atten * sc.attenuation, atten)
+        atten = jnp.where(step[:, None],
+                          atten * sc.attenuation * survived_scale[:, None],
+                          atten)
         # miss -> leave the loop, keep last direction for the sky lookup
         alive = alive & hit_valid & step
         return (o, d, atten, alive, absorbed, emitted_acc, spec_prev,
-                prev_pdf)
+                prev_pdf, n_exec)
 
     atten0 = jnp.ones((n_rays, 3), jnp.float32)
     alive0 = jnp.ones((n_rays,), bool)
@@ -163,12 +213,13 @@ def trace(scene: Scene,
     spec0 = jnp.ones((n_rays,), bool)  # camera rays count emissive hits
     pdf0 = jnp.zeros((n_rays,), jnp.float32)
     carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0, spec0,
-              pdf0)
+              pdf0, jnp.zeros((), jnp.int32))
 
     if differentiable:
-        (o, d, atten, alive, absorbed, emitted_acc, _, _), _ = jax.lax.scan(
-            lambda c, depth: (bounce_step(depth, c), None), carry0,
-            jnp.arange(max_depth))
+        (o, d, atten, alive, absorbed, emitted_acc, _, _, n_exec), _ = \
+            jax.lax.scan(
+                lambda c, depth: (bounce_step(depth, c), None), carry0,
+                jnp.arange(max_depth))
     else:
         def cond(state):
             depth, carry = state
@@ -178,7 +229,7 @@ def trace(scene: Scene,
             depth, carry = state
             return depth + 1, bounce_step(depth, carry)
 
-        _, (o, d, atten, alive, absorbed, emitted_acc, _, _) = \
+        _, (o, d, atten, alive, absorbed, emitted_acc, _, _, n_exec) = \
             jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
 
     if sky:
@@ -189,4 +240,6 @@ def trace(scene: Scene,
     # Depth-exhausted rays are still 'alive': reference returns
     # sky * attenuation for them too (main.cu:26-36) unless terminate_black.
     dead = absorbed | (alive if terminate_black else jnp.zeros_like(absorbed))
-    return emitted_acc + jnp.where(dead[:, None], 0.0, atten * background)
+    radiance = emitted_acc + jnp.where(dead[:, None], 0.0,
+                                       atten * background)
+    return (radiance, n_exec) if with_stats else radiance

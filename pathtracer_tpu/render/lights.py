@@ -82,14 +82,44 @@ def sample_lights(scene: Scene, u: jnp.ndarray
     return point, normal, emit, pdf
 
 
-def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
-                    u, eps: float = 1e-3, mis: bool = True, active=None):
-    """One-sample NEE estimate of direct radiance at a lambertian hit.
+def metal_lobe_pdf(w_unit, r_unit, fuzz):
+    """Exact solid-angle density of the RTIOW fuzzy-metal sampler.
 
-    L = w * f * cos_s * cos_l * emit / (dist^2 * pdf_area), f = albedo / pi,
-    with ``w`` the balance-heuristic MIS weight against cosine BSDF sampling
-    (the integrator adds the complementary weight to BSDF-sampled emissive
-    hits, so light-through-specular paths stop being firefly-only).
+    The reference draws v = r + fuzz * u with u uniform in the unit ball
+    (material.h:39-42) and uses the *unnormalized* v as the next direction;
+    the induced density of the unit direction w integrates the ball density
+    along the ray t*w:
+
+        p(w) = (t2^3 - t1^3) / (4 pi fuzz^3),  t1,2 = b -+ sqrt(b^2-1+f^2),
+
+    with b = w.r (t1 clamped to 0). Sanity: fuzz -> 1 gives 2 cos^3 / pi
+    around r, which integrates to 1 over the hemisphere. This is the lobe's
+    own normalized pdf; the reference's below-surface absorption makes the
+    *material* sub-probabilistic, which both sampling strategies share.
+    """
+    f = jnp.maximum(fuzz, 1e-4)
+    b = vec.dot(w_unit, r_unit)
+    disc = b * b - 1.0 + f * f
+    inside = (disc > 0.0) & (b + jnp.sqrt(jnp.maximum(disc, 0.0)) > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = jnp.maximum(b - sq, 0.0)
+    t2 = jnp.maximum(b + sq, 0.0)
+    pdf = (t2 ** 3 - t1 ** 3) / (FOUR_PI * f ** 3)
+    return jnp.where(inside, pdf, 0.0)
+
+
+def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
+                    u, eps: float = 1e-3, mis: bool = True, active=None,
+                    glossy=None):
+    """One-sample NEE estimate of direct radiance at a diffuse/glossy hit.
+
+    L = w * albedo * p_lobe(w_l) * cos_l * emit / (dist^2 * pdf_area), where
+    p_lobe is the material's own direction density (cos/pi for lambertian —
+    reducing to the textbook albedo/pi * cos_s form — or the fuzzy-metal
+    lobe via :func:`metal_lobe_pdf` when ``glossy=(is_glossy, r_unit, fuzz)``
+    is given), and ``w`` the balance-heuristic MIS weight against BSDF
+    sampling (the integrator adds the complementary weight to BSDF-sampled
+    emissive hits, so light-through-specular paths stop being firefly-only).
     The shadow ray uses the *unnormalized* segment as its direction, so the
     light point sits at t == 1: any accepted hit with t < 1 - eps occludes.
     ``active`` (optional (R,) bool): rays whose result the caller will
@@ -116,15 +146,20 @@ def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
                                        jax.lax.stop_gradient(seg_q))
     unoccluded = (~sh_valid) | (t_sh >= 1.0 - eps)
 
-    geom = cos_s * cos_l / (jnp.maximum(dist2, 1e-12) * pdf)
-    radiance = albedo * vec.PI_INV * geom[:, None] * emit
+    p_lobe = jnp.maximum(cos_s, 0.0) * vec.PI_INV
+    if glossy is not None:
+        is_glossy, r_unit, fuzz = glossy
+        w_l = seg * inv_dist[:, None]
+        p_metal = metal_lobe_pdf(w_l, r_unit, fuzz)
+        p_lobe = jnp.where(is_glossy, p_metal, p_lobe)
+    geom = p_lobe * cos_l / (jnp.maximum(dist2, 1e-12) * pdf)
+    radiance = albedo * geom[:, None] * emit
     if mis:
         # balance heuristic in solid-angle measure:
-        # p_light = pdf_area * dist^2 / cos_l ; p_bsdf = cos_s / pi
+        # p_light = pdf_area * dist^2 / cos_l ; p_bsdf = p_lobe
         p_light = pdf * dist2 / jnp.maximum(cos_l, 1e-8)
-        p_bsdf = jnp.maximum(cos_s, 0.0) * vec.PI_INV
-        radiance = radiance * (p_light / (p_light + p_bsdf))[:, None]
-    ok = unoccluded & (cos_s > 0.0) & (cos_l > 0.0)
+        radiance = radiance * (p_light / (p_light + p_lobe))[:, None]
+    ok = unoccluded & (cos_s > 0.0) & (cos_l > 0.0) & (p_lobe > 0.0)
     return jnp.where(ok[:, None], radiance, 0.0), ok
 
 

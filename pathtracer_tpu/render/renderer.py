@@ -46,10 +46,21 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
     ops/clusters.py) and returns (closest, reordered_scene) — callers shade
     with the returned scene so hit indices stay consistent."""
     if accel == "cluster":
+        import os
         from pathtracer_tpu.ops.cluster_sweep import (
             build_cluster_tables, make_cluster_closest_hit)
-        ct = build_cluster_tables(scene)
-        return make_cluster_closest_hit(ct, t_min), ct.scene
+        # tuning knobs (experiment pattern like PT_SWEEP_PRECISION);
+        # measured defaults live in ops/cluster_sweep.py
+        kw = {}
+        for k in ("ray_tile", "window", "max_rounds"):
+            v = os.environ.get(f"PT_CLUSTER_{k.upper()}")
+            if v:
+                kw[k] = int(v)
+        if os.environ.get("PT_CLUSTER_SORT", "1") == "0":
+            kw["sort_rays"] = False
+        kk = os.environ.get("PT_CLUSTER_K")
+        ct = build_cluster_tables(scene, K=int(kk) if kk else 128)
+        return make_cluster_closest_hit(ct, t_min, **kw), ct.scene
     if accel == "tensor":
         from pathtracer_tpu.ops.tensor_sweep import make_tensor_closest_hit
         return make_tensor_closest_hit(scene, t_min), scene
@@ -62,9 +73,18 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
     return make_bvh_closest_hit(scene, bvh, t_min), scene
 
 
+def _stratum_grid(spp: int) -> int:
+    """Largest m with m^2 dividing spp (uniform stratified pixel filter)."""
+    m = max(1, int(spp ** 0.5))
+    while m > 1 and spp % (m * m) != 0:
+        m -= 1
+    return m
+
+
 def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
                rows, cols, cfg: RenderConfig, spp: int,
-               sample_offset=0, differentiable: bool = False) -> jnp.ndarray:
+               sample_offset=0, differentiable: bool = False,
+               with_stats: bool = False):
     """Radiance SUM over ``spp`` samples for a flat pixel wavefront.
 
     The shared core of the single-chip renderer, the sharded renderer
@@ -80,7 +100,9 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
       pixel's jitter sequence is invariant to how the wavefront is sharded
       across devices (determinism test: same seed => same image, SURVEY §5).
 
-    Returns (P, 3) float32 — linear radiance, NOT averaged or gamma'd.
+    Returns (P, 3) float32 — linear radiance, NOT averaged or gamma'd —
+    or ((P, 3), executed_queries) when ``with_stats`` (the closest-hit
+    query count the accel actually executed; see integrator.trace).
     """
     n_padded = rows.shape[0]
     chunk = min(cfg.ray_chunk, n_padded)
@@ -94,9 +116,13 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
     closest, scene = _make_closest(scene, bvh, cfg.t_min, cfg.accel)
     # stratification grid (cfg.stratify): sample s jitters inside stratum
     # (s mod m^2) of an m x m sub-pixel grid — same marginal distribution,
-    # lower variance. m derives from the configured total spp so sharded /
-    # checkpointed runs with sample offsets stay consistent.
-    m_strat = max(1, int(cfg.spp ** 0.5)) if cfg.stratify else 1
+    # lower variance. m is the largest integer with m^2 | spp so every
+    # stratum is visited exactly spp/m^2 times; a plain floor(sqrt(spp))
+    # would oversample the first (spp mod m^2) strata — a systematic
+    # spatial bias in the pixel filter, not just extra variance. m derives
+    # from the configured total spp so sharded / checkpointed runs with
+    # sample offsets stay consistent.
+    m_strat = _stratum_grid(cfg.spp) if cfg.stratify else 1
     inv_m = 1.0 / m_strat
 
     def sample_pass(s, acc):
@@ -121,17 +147,23 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
             u_time = jax.random.uniform(lkey2, (chunk,), jnp.float32)
             o, d, t = camera_mod.get_rays(cam, u, v, u_disk[0], u_disk[1],
                                           u_time)
-            return integrator.trace(
+            out = integrator.trace(
                 scene, o, d, t, tkey, cfg.max_depth, closest,
                 t_min=cfg.t_min, sky=cfg.sky,
                 terminate_black=cfg.terminate_black,
-                differentiable=differentiable, nee=cfg.nee)
+                differentiable=differentiable, nee=cfg.nee,
+                with_stats=with_stats, rr=cfg.rr, rr_depth=cfg.rr_depth)
+            return out if with_stats else (out, jnp.zeros((), jnp.int32))
 
-        radiance = jax.lax.map(render_chunk, (rows_c, cols_c))
-        return acc + radiance.reshape(n_padded, 3)
+        acc, n_exec = acc
+        radiance, chunk_exec = jax.lax.map(render_chunk, (rows_c, cols_c))
+        return (acc + radiance.reshape(n_padded, 3),
+                n_exec + jnp.sum(chunk_exec))
 
-    return jax.lax.fori_loop(0, spp, sample_pass,
-                             jnp.zeros((n_padded, 3), jnp.float32))
+    acc, n_exec = jax.lax.fori_loop(
+        0, spp, sample_pass,
+        (jnp.zeros((n_padded, 3), jnp.float32), jnp.zeros((), jnp.int32)))
+    return (acc, n_exec) if with_stats else acc
 
 
 def padded_pixel_grid(cfg: RenderConfig, multiple: int):
@@ -143,8 +175,10 @@ def padded_pixel_grid(cfg: RenderConfig, multiple: int):
             jnp.pad(cols, (0, n_padded - n_pixels)))
 
 
-def make_renderer(cfg: RenderConfig, with_bvh: bool):
-    """Build a jitted ``render(scene, bvh, camera, seed) -> (H, W, 3)``.
+def make_renderer(cfg: RenderConfig, with_bvh: bool,
+                  with_stats: bool = False):
+    """Build a jitted ``render(scene, bvh, camera, seed) -> (H, W, 3)``
+    (or ``-> ((H, W, 3), executed_queries)`` when ``with_stats``).
 
     ``bvh`` must be None iff ``with_bvh`` is False (two cached variants).
     """
@@ -152,13 +186,16 @@ def make_renderer(cfg: RenderConfig, with_bvh: bool):
     chunk = min(cfg.ray_chunk, n_pixels)
     rows0, cols0 = padded_pixel_grid(cfg, chunk)
 
-    def render(scene: Scene, bvh, cam: camera_mod.Camera, seed) -> jnp.ndarray:
+    def render(scene: Scene, bvh, cam: camera_mod.Camera, seed):
         base_key = jax.random.PRNGKey(seed)
         acc = render_sum(scene, bvh, cam, base_key, rows0, cols0, cfg,
-                         cfg.spp)
+                         cfg.spp, with_stats=with_stats)
+        if with_stats:
+            acc, n_exec = acc
         # gamma-2 writeback (main.cu:290-293)
         img = jnp.sqrt(jnp.maximum(acc[:n_pixels], 0.0) / cfg.spp)
-        return img.reshape(cfg.height, cfg.width, 3)
+        img = img.reshape(cfg.height, cfg.width, 3)
+        return (img, n_exec) if with_stats else img
 
     return jax.jit(render)
 

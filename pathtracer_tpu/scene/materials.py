@@ -34,6 +34,10 @@ class ScatterResult(NamedTuple):
     is_diffuse: jnp.ndarray   # (N,) bool — lambertian (NEE samples lights)
     is_specular: jnp.ndarray  # (N,) bool — metal/dielectric (emissive hits
                               # stay counted after these under NEE)
+    is_glossy: jnp.ndarray    # (N,) bool — fuzzy metal (finite lobe: NEE
+                              # light-samples it too, render/lights.py)
+    glossy_r: jnp.ndarray     # (N, 3) unit mirror direction of the metal lobe
+    fuzz: jnp.ndarray         # (N,) metal fuzz radius
 
 
 def sample_texture(scene: Scene, tex_id, uv):
@@ -128,7 +132,9 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
                                       jnp.ones_like(albedo)))
     ok = jnp.where(is_metal[:, 0], metal_ok, ~is_emissive)
     emitted = jnp.where(is_emissive[:, None], emit, jnp.zeros_like(emit))
+    is_glossy = is_metal[:, 0] & (fuzz > 0.0)
     return ScatterResult(direction=direction, attenuation=attenuation,
                          ok=ok, emitted=emitted, is_emissive=is_emissive,
                          is_diffuse=is_lamb[:, 0],
-                         is_specular=is_metal[:, 0] | is_diel[:, 0])
+                         is_specular=is_metal[:, 0] | is_diel[:, 0],
+                         is_glossy=is_glossy, glossy_r=reflected, fuzz=fuzz)

@@ -53,11 +53,14 @@ def mrays_per_s(num_pixels: int, spp: int, max_depth: int,
                 seconds: float) -> float:
     """Closest-hit queries per wall-second, in millions.
 
-    Counts every traversal query the wavefront executes (pixels x spp x
-    depth); the reference's fixed workload is 800x450 x 100 x 50
-    (global_variables.h:28-31). With the early-exit bounce loop the real
-    query count is lower — this is therefore a conservative lower bound on
-    per-query speed and the honest apples-to-apples throughput number.
+    This is the *nominal-workload* throughput (pixels x spp x depth; the
+    reference's fixed workload is 800x450 x 100 x 50,
+    global_variables.h:28-31). With the early-exit bounce loop fewer
+    queries actually execute, so this number is an UPPER bound on the
+    achieved per-query rate — use it for apples-to-apples workload
+    comparisons across rounds, and the executed-query count
+    (integrator.trace(with_stats=True), reported by bench.py) for honest
+    per-query speed.
     """
     if seconds <= 0:
         return float("inf")

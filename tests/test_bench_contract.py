@@ -20,6 +20,9 @@ def test_bench_json_contract():
              if ln.startswith("{")]
     assert len(lines) == 1, (out.stdout, out.stderr[-500:])
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline",
+                        "executed_queries", "executed_mrays_per_s"}
     assert rec["unit"] == "Mrays/s"
     assert rec["value"] > 0
+    # executed <= nominal (early exit / compaction can only skip work)
+    assert 0 < rec["executed_queries"] <= rec["nominal_queries"]
