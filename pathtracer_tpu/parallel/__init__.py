@@ -8,10 +8,19 @@ collectives, and psum gradient all-reduce for the inverse-rendering path.
 """
 from pathtracer_tpu.parallel.mesh import (RAYS_AXIS, SPP_AXIS, make_mesh,
                                           initialize_distributed)
-from pathtracer_tpu.parallel.sharded import (make_sharded_renderer,
-                                             sharded_render_image)
 
 __all__ = [
     "RAYS_AXIS", "SPP_AXIS", "make_mesh", "initialize_distributed",
     "make_sharded_renderer", "sharded_render_image",
 ]
+
+
+def __getattr__(name):
+    # Lazy: importing the sharded renderer builds jnp constants, which
+    # initializes the JAX backend — that must not happen as a side effect
+    # of reaching initialize_distributed (multi-host bring-up must precede
+    # the first backend touch; see mesh.initialize_distributed).
+    if name in ("make_sharded_renderer", "sharded_render_image"):
+        from pathtracer_tpu.parallel import sharded
+        return getattr(sharded, name)
+    raise AttributeError(name)

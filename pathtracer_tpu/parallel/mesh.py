@@ -32,7 +32,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     Thin wrapper over ``jax.distributed.initialize`` so launchers have one
     entry point; on a single host (or when already initialized) it is safe to
-    call and does nothing.
+    call and does nothing. MUST run before any JAX computation touches the
+    backend (even building a jnp constant initializes it) — call this before
+    importing renderer modules (see tests/distributed_worker.py).
     """
     if num_processes is None or num_processes <= 1:
         return
@@ -41,7 +43,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError:
-        pass  # already initialized
+        if jax.process_count() == num_processes:
+            return  # already initialized with the right topology
+        raise
 
 
 def make_mesh(devices: Optional[Sequence] = None,

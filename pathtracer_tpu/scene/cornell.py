@@ -16,6 +16,9 @@ from pathtracer_tpu.scene.scene import Scene, SceneBuilder
 
 CORNELL_DIR = os.environ.get(
     "PT_CORNELL_DIR", "/root/reference/models/cornellbox")
+MARBLE_PNG = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "textures", "marble.png")
 
 
 def cornell_box(obj_dir: str = CORNELL_DIR, aspect: float = 1.0,
@@ -46,14 +49,21 @@ def cornell_box(obj_dir: str = CORNELL_DIR, aspect: float = 1.0,
         b.add_sphere((400.0, 240.0, 190.0), 75.0, metal)
         glass = b.add_dielectric(1.5)
         b.add_sphere((160.0, 420.0, 360.0), 90.0, glass)
-        # image-textured sphere (config 2 "textures"): checker via the
-        # texture atlas + sphere UVs (wires texture.h / mTexID, SURVEY §2.1)
+        # image-textured spheres (config 2 "textures"), wiring texture.h /
+        # mTexID (SURVEY §2.1) end-to-end: a procedural checker plus a real
+        # PNG *file* loaded from disk — the role the reference reserved
+        # stb_image for (png_image.h:8-9) but never used.
         checker = np.zeros((8, 16, 3), np.float32)
         checker[::2, ::2] = checker[1::2, 1::2] = (0.9, 0.9, 0.85)
         checker[::2, 1::2] = checker[1::2, ::2] = (0.15, 0.25, 0.5)
         tid = b.add_texture(checker)
         tex_mat = b.add_lambertian((1.0, 1.0, 1.0), tex_id=tid)
         b.add_sphere((420.0, 90.0, 400.0), 90.0, tex_mat)
+        if os.path.exists(MARBLE_PNG):
+            from pathtracer_tpu.io.png import read_png
+            marble = b.add_texture(read_png(MARBLE_PNG)[..., :3])
+            marble_mat = b.add_lambertian((1.0, 1.0, 1.0), tex_id=marble)
+            b.add_sphere((120.0, 75.0, 147.0), 75.0, marble_mat)
     else:
         s1 = b.add_lambertian((0.8, 0.3, 0.3))
         s2 = b.add_lambertian((0.3, 0.3, 0.8))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from pathtracer_tpu.core import optics, sampling, vec
@@ -42,7 +43,16 @@ class ScatterResult(NamedTuple):
 
 def sample_texture(scene: Scene, tex_id, uv):
     """Nearest-neighbor image texture lookup at (u, v); v=0 is the bottom
-    row (sphere UV convention, cuda_object.h:94-102)."""
+    row (sphere UV convention, cuda_object.h:94-102).
+
+    TPU-native two-stage fetch instead of a per-ray ``jnp.take`` (which XLA
+    serializes row-by-row on TPU — the pattern this repo bans in bounce
+    loops, docs/DESIGN.md): stage 1 gathers each ray's scanline
+    ``(tex, y)`` as a one-hot MXU matmul over (K*TH) rows (ops/gather);
+    stage 2 selects the x texel with a one-hot masked sum on the VPU. The
+    one-hot traffic is R x K*TH + R x TW — bounded even for large atlases,
+    where a flat one-hot over K*TH*TW texels would not be.
+    """
     k, th, tw = (scene.textures.shape[0], scene.textures.shape[1],
                  scene.textures.shape[2])
     if k == 0:
@@ -52,8 +62,14 @@ def sample_texture(scene: Scene, tex_id, uv):
     x = (u * tw).astype(jnp.int32)
     y = ((1.0 - v) * th).astype(jnp.int32)
     tid = jnp.clip(tex_id, 0, k - 1)
-    flat = scene.textures.reshape(k * th * tw, 3)
-    return jnp.take(flat, (tid * th + y) * tw + x, axis=0)
+    from pathtracer_tpu.ops.gather import exact_rows
+    scanlines = scene.textures.reshape(k * th, tw * 3)
+    rows = exact_rows(scanlines, tid * th + y,
+                      force_matmul=jax.default_backend() == "tpu")
+    rows3 = rows.reshape(rows.shape[0], tw, 3)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], tw), 1)
+           == x[:, None])
+    return jnp.sum(jnp.where(sel[:, :, None], rows3, 0.0), axis=1)
 
 
 def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:

@@ -71,7 +71,7 @@ def main():
     from pathtracer_tpu.scene.reference_world import reference_random_world
 
     os.makedirs(args.out, exist_ok=True)
-    target = read_png(REF_PNG).astype(np.float32) / 255.0
+    target = read_png(REF_PNG)[..., :3].astype(np.float32)
 
     scene, _ = reference_random_world()
 
