@@ -58,6 +58,9 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
                 kw[k] = int(v)
         if os.environ.get("PT_CLUSTER_SORT", "1") == "0":
             kw["sort_rays"] = False
+        st = os.environ.get("PT_CLUSTER_STRATEGY")
+        if st:
+            kw["strategy"] = st
         kk = os.environ.get("PT_CLUSTER_K")
         ct = build_cluster_tables(scene, K=int(kk) if kk else 128)
         return make_cluster_closest_hit(ct, t_min, **kw), ct.scene

@@ -30,13 +30,14 @@ def _camera_rays(scene_cam, n, key=0):
     return scene, o, d
 
 
-def _check_vs_brute(scene, ct, o, d, **kw):
+def _check_vs_brute(scene, ct, o, d, query=None, **kw):
     """Culled result must match the dense tensor sweep bit-exactly (same
     per-pair epilogue arithmetic; only tie winners may differ), and brute
     force loosely (the known matmul-vs-factored ulp divergence,
     tests/test_tensor_sweep.py)."""
     from pathtracer_tpu.ops import tensor_sweep
-    idx_c, t_c, v_c = cluster_closest(ct, o, d, T_MIN, **kw)
+    query = query or cluster_closest
+    idx_c, t_c, v_c = query(ct, o, d, T_MIN, **kw)
     tables = tensor_sweep.pack_sweep_tables(ct.scene)
     idx_t, t_t, v_t = tensor_sweep.tensor_closest(
         tables, o, d, jnp.float32(T_MIN), intersect.BIG_T)
@@ -112,6 +113,35 @@ def test_matches_brute_camera_rays(world):
     scene, o, d = _camera_rays(worlds.get_world(world), 512, key=1)
     ct = build_cluster_tables(scene)
     _check_vs_brute(scene, ct, o, d)
+
+
+@pytest.mark.parametrize("world", ["random", "cornell"])
+@pytest.mark.parametrize("sort_rays", [True, False])
+def test_march_matches_brute(world, sort_rays):
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world(world), 512, key=1)
+    ct = build_cluster_tables(scene)
+    _check_vs_brute(scene, ct, o, d,
+                    query=lambda *a, **k: cluster_march(
+                        *a, sort_rays=sort_rays, **k))
+
+
+def test_march_incoherent_and_dead():
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, _ = worlds.random_world(seed=11)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    o = jax.random.uniform(k1, (512, 3), jnp.float32, -8.0, 8.0)
+    d = jax.random.normal(k2, (512, 3), jnp.float32)
+    d = jnp.where(((jnp.arange(512) % 5) == 0)[:, None], 0.0, d)
+    ct = build_cluster_tables(scene)
+    idx_m, t_m, v_m = cluster_march(ct, o, d, T_MIN)
+    idx_r, t_r, v_r = cluster_closest(ct, o, d, T_MIN)
+    np.testing.assert_array_equal(np.asarray(v_m), np.asarray(v_r))
+    hit = np.asarray(v_r)
+    np.testing.assert_allclose(np.asarray(t_m)[hit], np.asarray(t_r)[hit],
+                               rtol=2e-4)
+    dead = np.asarray((jnp.arange(512) % 5) == 0)
+    assert not np.asarray(v_m)[dead].any()
 
 
 def test_matches_brute_unsorted_mode():
