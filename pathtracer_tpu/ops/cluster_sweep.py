@@ -361,37 +361,39 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, cols_ref, sph_ref,
     a = a_ref[0, 0]
     n = phi.shape[0]
 
-    def body(j, carry):
-        t_acc, b_acc, done = carry
-        ent = ents_ref[i, j]
-        done = done | (jnp.max(t_acc) <= ent)
+    # A genuine while_loop (single body instance) rather than a fori+cond
+    # unroll: Mosaic unrolls static fori trip counts, and M copies of
+    # matmul+epilogue made the kernel take minutes to compile. The cond
+    # reads ents[j] for j in [0, M] — the caller pads slot M with +BIG so
+    # the bounds probe is safe and the loop always terminates there.
+    def cond(state):
+        j, t_acc, _ = state
+        return jnp.max(t_acc) > ents_ref[i, j]
 
-        def work(args):
-            t_acc, b_acc = args
-            c = ids_ref[i, j]
-            blk = cols_ref[pl.ds(c, 1), :, :][0]
-            S = jax.lax.dot_general(
-                phi, blk, (((1,), (0,)), ((), ())),
-                precision=tensor_sweep.SWEEP_PRECISION,
-                preferred_element_type=jnp.float32)
-            sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
-            valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
-            t_eff = tensor_sweep._epilogue(
-                S[:, 0:K], S[:, K:2 * K], S[:, 2 * K:3 * K],
-                S[:, 3 * K:4 * K], a, sph != 0, valid != 0, t_min, BIG)
-            local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
-            local_t = jnp.min(t_eff, axis=1)
-            better = local_t < t_acc
-            return (jnp.where(better, local_t, t_acc),
-                    jnp.where(better, c * K + local_j, b_acc))
-
-        t_acc, b_acc = jax.lax.cond(done, lambda x: x, work, (t_acc, b_acc))
-        return t_acc, b_acc, done
+    def body(state):
+        j, t_acc, b_acc = state
+        c = ids_ref[i, j]
+        blk = cols_ref[pl.ds(c, 1), :, :][0]
+        S = jax.lax.dot_general(
+            phi, blk, (((1,), (0,)), ((), ())),
+            precision=tensor_sweep.SWEEP_PRECISION,
+            preferred_element_type=jnp.float32)
+        sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
+        valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
+        t_eff = tensor_sweep._epilogue(
+            S[:, 0:K], S[:, K:2 * K], S[:, 2 * K:3 * K],
+            S[:, 3 * K:4 * K], a, sph != 0, valid != 0, t_min, BIG)
+        local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
+        local_t = jnp.min(t_eff, axis=1)
+        better = local_t < t_acc
+        return (j + 1,
+                jnp.where(better, local_t, t_acc),
+                jnp.where(better, c * K + local_j, b_acc))
 
     t0 = jnp.full((n,), BIG, jnp.float32)
     b0 = jnp.full((n,), -1, jnp.int32)
-    t_acc, b_acc, _ = jax.lax.fori_loop(0, M, body,
-                                        (t0, b0, jnp.bool_(False)))
+    _, t_acc, b_acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, b0))
     t_ref[0, 0] = t_acc
     best_ref[0, 0] = b_acc
 
@@ -450,9 +452,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     ents_sorted, ids_sorted = jax.lax.sort_key_val(chunk_entry, iota,
                                                    dimension=1)
     ids = jnp.concatenate(
-        [jnp.full((n_chunks, 1), C_reg, jnp.int32), ids_sorted], axis=1)
+        [jnp.full((n_chunks, 1), C_reg, jnp.int32), ids_sorted,
+         jnp.zeros((n_chunks, 1), jnp.int32)], axis=1)
+    # terminal sentinel entry +BIG: the while cond max(t_best) > ents[j]
+    # is false there (t_best <= BIG), guaranteeing termination at j == M
     ents = jnp.concatenate(
-        [jnp.full((n_chunks, 1), -BIG, jnp.float32), ents_sorted], axis=1)
+        [jnp.full((n_chunks, 1), -BIG, jnp.float32), ents_sorted,
+         jnp.full((n_chunks, 1), BIG, jnp.float32)], axis=1)
     M = C_reg + 1
 
     K = ct.K

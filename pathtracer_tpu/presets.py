@@ -37,16 +37,9 @@ def combined_scene(aspect: float = 16.0 / 9.0) -> Tuple[Scene, Camera]:
     from pathtracer_tpu.scene.cornell import CORNELL_DIR
     import os
 
+    from pathtracer_tpu.scene.cornell import add_cornell_room
     b = SceneBuilder()
-    white = b.add_lambertian((0.73, 0.73, 0.73))
-    red = b.add_lambertian((0.65, 0.05, 0.05))
-    green = b.add_lambertian((0.12, 0.45, 0.15))
-    light = b.add_emissive((15.0, 15.0, 15.0))
-
-    for name, mat in (("floor", white), ("left", red), ("right", green),
-                      ("light", light)):
-        verts, faces = load_obj(os.path.join(CORNELL_DIR, name + ".obj"))
-        b.add_mesh(verts, faces, mat)
+    add_cornell_room(b, CORNELL_DIR)
 
     # bunny, scaled to ~250 units, centered on the floor
     verts, faces = load_obj(BUNNY_OBJ)

@@ -21,6 +21,21 @@ MARBLE_PNG = os.path.join(os.path.dirname(os.path.dirname(
     "assets", "textures", "marble.png")
 
 
+def add_cornell_room(b: SceneBuilder, obj_dir: str = CORNELL_DIR):
+    """Add the Cornell room meshes (floor+ceiling+back, red left, green
+    right, emissive ceiling light) to a builder. Returns the white material
+    id for reuse. Shared by cornell_box and presets.combined_scene."""
+    white = b.add_lambertian((0.73, 0.73, 0.73))
+    red = b.add_lambertian((0.65, 0.05, 0.05))
+    green = b.add_lambertian((0.12, 0.45, 0.15))
+    light = b.add_emissive((15.0, 15.0, 15.0))
+    for name, mat in (("floor", white), ("left", red), ("right", green),
+                      ("light", light)):
+        verts, faces = load_obj(os.path.join(obj_dir, name + ".obj"))
+        b.add_mesh(verts, faces, mat)
+    return white
+
+
 def cornell_box(obj_dir: str = CORNELL_DIR, aspect: float = 1.0,
                 variant: str = "full") -> Tuple[Scene, Camera]:
     """Cornell box. ``variant``:
@@ -29,19 +44,12 @@ def cornell_box(obj_dir: str = CORNELL_DIR, aspect: float = 1.0,
     - "full": boxes + a metal and a glass sphere (config 2 materials).
     """
     b = SceneBuilder()
-    white = b.add_lambertian((0.73, 0.73, 0.73))
-    red = b.add_lambertian((0.65, 0.05, 0.05))
-    green = b.add_lambertian((0.12, 0.45, 0.15))
-    light = b.add_emissive((15.0, 15.0, 15.0))
+    white = add_cornell_room(b, obj_dir)
 
     def add(name, mat):
         verts, faces = load_obj(os.path.join(obj_dir, name + ".obj"))
         b.add_mesh(verts, faces, mat)
 
-    add("floor", white)       # floor + ceiling + back wall (6 meshes file)
-    add("left", red)
-    add("right", green)
-    add("light", light)
     if variant == "full":
         add("shortbox", white)
         add("tallbox", white)
