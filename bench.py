@@ -34,7 +34,7 @@ def main() -> int:
     p.add_argument("--accel", default="cluster",
                    choices=["cluster", "tensor", "pallas", "bvh", "brute"])
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--ray-chunk", type=int, default=14400)
+    p.add_argument("--ray-chunk", type=int, default=57600)
     args = p.parse_args()
 
     import jax

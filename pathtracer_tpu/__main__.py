@@ -24,8 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=450)
     p.add_argument("--spp", type=int, default=100)
     p.add_argument("--max-depth", type=int, default=50)
-    p.add_argument("--accel", default="tensor",
-                   choices=["cluster", "tensor", "pallas", "bvh", "brute"])
+    p.add_argument("--accel", default=None,
+                   choices=["cluster", "tensor", "pallas", "bvh", "brute"],
+                   help="acceleration structure (default tensor; with "
+                        "--preset, overrides the preset's accel)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ray-chunk", type=int, default=16384)
     p.add_argument("--no-sky", action="store_true",
@@ -100,6 +102,10 @@ def main(argv=None) -> int:
                                   height=max(8, int(cfg.height * s)),
                                   spp=max(1, int(cfg.spp * s)))
             cfg = cfg.replace(seed=args.seed)
+            if args.accel:
+                cfg = cfg.replace(accel=args.accel)
+            if args.rr:
+                cfg = cfg.replace(rr=True, rr_depth=args.rr_depth)
         else:
             scene, cam = get_world(args.scene)
             sky = not args.no_sky
@@ -107,7 +113,7 @@ def main(argv=None) -> int:
                 sky = False  # lit by the area light
             cfg = RenderConfig(width=args.width, height=args.height,
                                spp=args.spp, max_depth=args.max_depth,
-                               accel=args.accel, seed=args.seed,
+                               accel=args.accel or "tensor", seed=args.seed,
                                ray_chunk=args.ray_chunk, sky=sky,
                                nee=args.nee or args.scene == "cornell",
                                terminate_black=args.terminate_black,

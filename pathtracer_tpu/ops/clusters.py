@@ -29,7 +29,7 @@ scene.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,9 @@ _KEY_HUGE = jnp.uint32(0x80000000)
 HUGE_EXTENT_FACTOR = 16.0
 
 
-class ClusterTables(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterTables:
     """Reordered scene + per-cluster sweep tables.
 
     Row layout of ``scene`` (total = (C_reg + 1) * K rows):
@@ -72,8 +74,9 @@ class ClusterTables(NamedTuple):
     cmax: jnp.ndarray       # (C_reg, 3)
     perm: jnp.ndarray       # (total,) int32: original row per reordered row
                             # (>= num original rows for padding)
-    K: int                  # static
-    C_reg: int              # static number of regular clusters
+    # static (pytree aux data — stay Python ints across jit boundaries)
+    K: int = dataclasses.field(metadata=dict(static=True))
+    C_reg: int = dataclasses.field(metadata=dict(static=True))
 
 
 def _pad_prim_rows(scene: Scene, total: int):
