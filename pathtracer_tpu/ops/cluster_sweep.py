@@ -344,8 +344,8 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
     return jnp.where(found, best, 0), t_best, found
 
 
-def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, cols_ref, sph_ref,
-                  valid_ref, t_ref, best_ref, *, K, M, t_min):
+def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
+                  sph_ref, valid_ref, t_ref, best_ref, *, K, M, t_min):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's clusters in ascending chunk-entry order (ids/ents are
@@ -359,6 +359,7 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, cols_ref, sph_ref,
     i = pl.program_id(0)
     phi = phi_ref[:]
     a = a_ref[0, 0]
+    gate = gate_ref[0, 0]
     n = phi.shape[0]
 
     # A genuine while_loop (single body instance) rather than a fori+cond
@@ -366,9 +367,16 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, cols_ref, sph_ref,
     # matmul+epilogue made the kernel take minutes to compile. The cond
     # reads ents[j] for j in [0, M] — the caller pads slot M with +BIG so
     # the bounds probe is safe and the loop always terminates there.
+    #
+    # Per-lane stop gate: a lane stops needing clusters once the next entry
+    # exceeds min(best-so-far, gate), where gate = the lane's OWN farthest
+    # touched-cluster entry (beyond it, every cluster the lane touches has
+    # already been processed — their chunk entries sort earlier). This
+    # keeps miss lanes (t stays BIG) from dragging a mixed chunk through
+    # the whole list.
     def cond(state):
         j, t_acc, _ = state
-        return jnp.max(t_acc) > ents_ref[i, j]
+        return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, j]
 
     def body(state):
         j, t_acc, b_acc = state
@@ -443,6 +451,16 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     phi = ray_features(o, d)
     a = vec.dot(d, d)
     a = jnp.where(a == 0.0, 1.0, a)
+    # per-lane stop gate: the lane's farthest touched-cluster entry. The
+    # nudge keeps the gate strictly above the entry it equals (its own last
+    # cluster must still process); the -BIG/2 floor keeps every active lane
+    # gating slot 0 (the residual tile, sentinel entry -BIG) — without it,
+    # lanes touching no regular cluster would skip the residual sweep and
+    # lose backdrop hits. Inactive (d == 0) lanes never gate.
+    gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=1)
+    gate = gate * (1.0 + 1e-5) + 1e-5
+    active_now = jnp.any(d != 0.0, axis=1)
+    gate = jnp.where(active_now, jnp.maximum(gate, -BIG * 0.5), -BIG)
 
     # per-chunk ascending cluster order by entry distance; slot 0 = the
     # residual tile, always processed (entry -BIG)
@@ -464,12 +482,14 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     K = ct.K
     C_tot = ct.cols.shape[0]
     a3 = a.reshape(n_chunks, 1, ray_tile)
+    gate3 = gate.reshape(n_chunks, 1, ray_tile)
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((ray_tile, FEAT), lambda i, s, e: (i, 0)),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
             pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
             pl.BlockSpec((C_tot, FEAT, OUTS * K),
                          lambda i, s, e: (0, 0, 0)),
@@ -489,7 +509,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
             jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(ids, ents, phi, a3, ct.cols, ct.is_sphere, ct.valid_row)
+    )(ids, ents, phi, a3, gate3, ct.cols, ct.is_sphere, ct.valid_row)
     t_best = t_best.reshape(-1)
     best = best.reshape(-1)
 
