@@ -17,6 +17,6 @@ tracer (Nablax/Path-Tracer-CUDA-OpenGL) for TPU hardware:
 Reference behavior citations use ``file:line`` into ``/root/reference``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from pathtracer_tpu.config import RenderConfig  # noqa: F401

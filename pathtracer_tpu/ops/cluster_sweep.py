@@ -1,42 +1,38 @@
-"""Cluster-culled closest-hit: ray binning by sort + windowed Pallas sweeps.
+"""Cluster-culled closest-hit: ray binning by sort + an in-kernel march.
 
 This is the TPU answer to the reference's sub-linear BVH traversal
 (``utils/render_manager.h:86-135``): instead of a per-ray stack walk
 (serialized pointer-chasing on TPU, docs/DESIGN.md), rays are *binned by
 sort* against morton clusters of primitives (ops/clusters.py) and each
-128-ray chunk sweeps only a small window of clusters with the fused
-matmul+epilogue kernel — the dense O(R*N) sweep becomes ~O(R*(C + W*K)).
+128-ray chunk sweeps only the clusters that can matter, using the fused
+matmul+epilogue kernel per cluster — the dense O(R*N) sweep becomes
+~O(R * (C + clusters-that-matter * K)).
 
-Query pipeline (all static shapes, jit-compatible):
+Default strategy — ``cluster_march`` (single pass):
 
-1. **residual pass** — every ray densely sweeps the residual tile (huge
-   prims + padding; one K-wide kernel pass).
-2. **cull** — slab-test every ray against the C_reg cluster AABBs
-   ((R, C) dense VPU work; C is tiny). Gives each ray a conservative entry
-   distance per cluster; clusters the ray's AABB test misses, or whose
-   entry lies beyond the ray's current best hit, are *provably* irrelevant.
-3. **march rounds** (``lax.while_loop``): each round sorts rays by
-   (resolved, nearest-unprocessed-cluster), takes per-chunk window starts
-   from the sorted keys, and runs the windowed kernel — chunks whose rays
-   are all resolved are skipped inside the kernel (this is also the
-   inter-bounce wavefront compaction: terminated rays are handed to this
-   query with d == 0, resolve instantly, and sort into skipped chunks).
-   A per-ray bitset tracks processed clusters; a ray is resolved when no
-   unprocessed cluster's entry distance can beat its best hit. The chunk's
-   minimum key always lies inside its window, so every round retires at
-   least one ray per unresolved chunk (termination).
-4. **fallback** — after ``max_rounds``, any still-unresolved rays (rare:
-   pathological cluster overlap) are compacted by one more sort and swept
-   against *all* clusters; the pass is skipped entirely when the march
-   resolved everything.
-5. **unsort** — results return to caller ray order by sorting on ray id.
+1. cull: slab-test every ray against the C cluster AABBs ((R, C) dense VPU
+   work, C is tiny), giving conservative entry distances;
+2. bin: one optional ``lax.sort`` groups rays by nearest cluster (this is
+   load-bearing: sorted chunks march 2.5 clusters on average on the bunny,
+   unsorted ~34, because a chunk's candidate set is the union over its
+   lanes); terminated (d == 0) rays resolve instantly and sort into idle
+   chunks — inter-bounce wavefront compaction falls out of the same sort;
+3. march: ONE Pallas launch; each chunk walks its clusters in ascending
+   chunk-entry order (tiny per-chunk sort, scalar-prefetched) inside a
+   ``lax.while_loop``, halting once every lane's ``min(best hit, own
+   farthest touched entry)`` precedes the next cluster's entry. The
+   residual tile (huge prims) rides as slot 0 of every chunk. Exact: a
+   remaining cluster's per-ray entry is lower-bounded by its chunk entry,
+   and entries ascend (ulp margin applied in the cull);
+4. unsort by ray id.
 
-Exactness: the windowed results equal the dense sweep's because a ray is
-only marked resolved when ``best_t`` is provably ahead of every unswept
-cluster (entry distances get a small conservative margin for the ulp
-difference between slab and epilogue arithmetic), and the fallback closes
-the remainder. Ties between *different* primitives at bit-equal t may pick
-a different winner than the dense sweep's lowest-index rule (measure zero).
+``cluster_closest`` (strategy="rounds") is the earlier multi-round
+sort/cull/window pipeline with per-ray processed bitsets and an exact
+full-width fallback — same results, ~40% slower on chip (per-round XLA
+overhead); kept for cross-checking and A/B.
+
+Ties between *different* primitives at bit-equal t may pick a different
+winner than the dense sweep's lowest-index rule (measure zero).
 """
 from __future__ import annotations
 
