@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="acceleration structure (default tensor; with "
                         "--preset, overrides the preset's accel)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--ray-chunk", type=int, default=16384)
+    p.add_argument("--ray-chunk", type=int, default=None,
+                   help="wavefront chunk size (default 16384; with "
+                        "--preset, overrides the preset's chunk)")
     p.add_argument("--no-sky", action="store_true",
                    help="black background (emissive-lit scenes)")
     p.add_argument("--nee", action="store_true",
@@ -104,6 +106,8 @@ def main(argv=None) -> int:
             cfg = cfg.replace(seed=args.seed)
             if args.accel:
                 cfg = cfg.replace(accel=args.accel)
+            if args.ray_chunk:
+                cfg = cfg.replace(ray_chunk=args.ray_chunk)
             if args.rr:
                 cfg = cfg.replace(rr=True, rr_depth=args.rr_depth)
         else:
@@ -114,7 +118,7 @@ def main(argv=None) -> int:
             cfg = RenderConfig(width=args.width, height=args.height,
                                spp=args.spp, max_depth=args.max_depth,
                                accel=args.accel or "tensor", seed=args.seed,
-                               ray_chunk=args.ray_chunk, sky=sky,
+                               ray_chunk=args.ray_chunk or 16384, sky=sky,
                                nee=args.nee or args.scene == "cornell",
                                terminate_black=args.terminate_black,
                                rr=args.rr, rr_depth=args.rr_depth,

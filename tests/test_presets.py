@@ -46,3 +46,15 @@ def test_cornell_direct_proxy_render():
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
     assert img.max() > 0.5  # the area light shows up
+
+
+def test_cli_preset_accel_override(tmp_path):
+    """--accel and --rr override a preset's config (used for running
+    BASELINE configs on the production accel)."""
+    from pathtracer_tpu.__main__ import build_parser
+    args = build_parser().parse_args(
+        ["--preset", "cornell-direct", "--accel", "cluster", "--rr"])
+    assert args.accel == "cluster" and args.rr
+    # default accel stays None so presets keep their own unless overridden
+    args2 = build_parser().parse_args(["--preset", "cornell-direct"])
+    assert args2.accel is None
