@@ -341,7 +341,8 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 
 def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
-                  sph_ref, valid_ref, t_ref, best_ref, *, K, M, t_min):
+                  sph_ref, valid_ref, rows_ref, t_ref, best_ref, rows_out,
+                  *, K, M, t_min, with_rows):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's clusters in ascending chunk-entry order (ids/ents are
@@ -371,11 +372,11 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
     # keeps miss lanes (t stays BIG) from dragging a mixed chunk through
     # the whole list.
     def cond(state):
-        j, t_acc, _ = state
+        j, t_acc = state[0], state[1]
         return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, j]
 
     def body(state):
-        j, t_acc, b_acc = state
+        j, t_acc, b_acc, r_acc = state
         c = ids_ref[i, j]
         blk = cols_ref[pl.ds(c, 1), :, :][0]
         S = jax.lax.dot_general(
@@ -390,22 +391,39 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
         local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
         local_t = jnp.min(t_eff, axis=1)
         better = local_t < t_acc
+        if with_rows:
+            # emit the winner's hit-field row right here — a one-hot
+            # lane-contraction against the cluster's (16, K) field block —
+            # so the integrator never gathers scene rows per bounce (the
+            # serialized TPU gather cost ~4 ms per 57.6k queries).
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
+                  == local_j[:, None]).astype(jnp.float32)
+            blkrows = rows_ref[pl.ds(c, 1), :, :][0]     # (16, K)
+            new_rows = jax.lax.dot_general(
+                blkrows, oh, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (16, n)
+            r_acc = jnp.where(better[None, :], new_rows, r_acc)
         return (j + 1,
                 jnp.where(better, local_t, t_acc),
-                jnp.where(better, c * K + local_j, b_acc))
+                jnp.where(better, c * K + local_j, b_acc),
+                r_acc)
 
     t0 = jnp.full((n,), BIG, jnp.float32)
     b0 = jnp.full((n,), -1, jnp.int32)
-    _, t_acc, b_acc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, b0))
+    r0 = jnp.zeros((16, n), jnp.float32)
+    _, t_acc, b_acc, r_acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, b0, r0))
     t_ref[0, 0] = t_acc
     best_ref[0, 0] = b_acc
+    if with_rows:
+        rows_out[0] = r_acc
 
 
 def cluster_march(ct: ClusterTables, o, d, t_min,
                   ray_tile: int = DEF_RAY_TILE,
                   sort_rays: bool = True,
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                  with_rows: bool = False):
     """Single-pass culled closest-hit: (prim_idx, t, valid), each (R,).
 
     The march-in-kernel strategy (default): rays are optionally binned by
@@ -479,7 +497,27 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     C_tot = ct.cols.shape[0]
     a3 = a.reshape(n_chunks, 1, ray_tile)
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
-    kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min)
+    kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
+                               with_rows=with_rows)
+    out_specs = [
+        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
+        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
+    ]
+    if with_rows:
+        out_specs.append(
+            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e: (i, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_chunks, 16, ray_tile), jnp.float32))
+    else:
+        # dummy single-block output so the kernel signature is uniform
+        out_specs.append(
+            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e: (0, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, 16, ray_tile), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
@@ -491,33 +529,39 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                          lambda i, s, e: (0, 0, 0)),
             pl.BlockSpec((C_tot, 1, K), lambda i, s, e: (0, 0, 0)),
             pl.BlockSpec((C_tot, 1, K), lambda i, s, e: (0, 0, 0)),
+            pl.BlockSpec((C_tot, 16, K), lambda i, s, e: (0, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    t_best, best = pl.pallas_call(
+    t_best, best, rows_k = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
-    )(ids, ents, phi, a3, gate3, ct.cols, ct.is_sphere, ct.valid_row)
+    )(ids, ents, phi, a3, gate3, ct.cols, ct.is_sphere, ct.valid_row,
+      ct.rows)
     t_best = t_best.reshape(-1)
     best = best.reshape(-1)
+    rows16 = (rows_k.transpose(0, 2, 1).reshape(r_pad, 16)
+              if with_rows else None)
 
     if sort_rays:
-        rid, t_best, best = jax.lax.sort([rid, t_best, best], num_keys=1)
+        ops = [rid, t_best, best] + (
+            [rows16[:, f] for f in range(16)] if with_rows else [])
+        ops = jax.lax.sort(ops, num_keys=1)
+        rid, t_best, best = ops[0], ops[1], ops[2]
+        if with_rows:
+            rows16 = jnp.stack(ops[3:19], axis=1)
     t_best = t_best[:r]
     best = best[:r]
     # dead (d == 0) rays can register pseudo-hits on enclosing residual
     # spheres (a is forced to 1, so an origin inside the backdrop "hits"
     # it); the contract is that they are misses
     found = (best >= 0) & active0[:r]
-    return jnp.where(found, best, 0), t_best, found
+    idx = jnp.where(found, best, 0)
+    if with_rows:
+        return idx, t_best, found, rows16[:r]
+    return idx, t_best, found
 
 
 def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
@@ -547,4 +591,13 @@ def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
     # d == 0 rays resolve instantly — the integrator uses this to retire
     # terminated wavefront lanes (render/integrator.py).
     closest.handles_dead = True
+    if strategy == "march":
+        # (idx, t, valid, rows): the kernel also emits the winner's packed
+        # hit-field row, sparing the per-bounce scene-row gather. Detached
+        # (like idx) — the differentiable path must not use it.
+        def query_rows(o, d):
+            return cluster_march(ct, o, d, float(t_min),
+                                 ray_tile=ray_tile, sort_rays=sort_rays,
+                                 with_rows=True)
+        closest.query_rows = query_rows
     return closest

@@ -130,7 +130,7 @@ def brute_force_closest(scene: Scene, o, d, t_min, t_max):
 
 
 def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
-                           valid) -> rays_mod.HitRecords:
+                           valid, packed_rows=None) -> rays_mod.HitRecords:
     """Differentiable hit-record reconstruction.
 
     Given the (detached) winning primitive index per ray, recompute t / p /
@@ -139,19 +139,24 @@ def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
     as constant, the geometry is differentiable). Mirrors what
     cuda_object.h:45-92 writes into the hit_record, including the sphere UV
     (cuda_object.h:94-102) and the face-normal flip (hit_record.h:21-24)."""
-    # One packed-row MXU gather instead of seven takes: TPU's native gather
-    # is serialized per row (~ms-scale for a 16k wavefront), so all per-prim
-    # hit fields ride one one-hot matmul (ops/gather.exact_rows). Packing is
-    # bounce-loop-invariant and hoisted; the matmul's backward (a scatter-add
-    # matmul) carries the v0/e1/e2 gradients.
-    from pathtracer_tpu.ops.gather import exact_rows
-    packed = jnp.concatenate([
-        scene.prim_type.astype(jnp.float32)[:, None],
-        scene.v0, scene.e1, scene.e2,
-        scene.radius[:, None], scene.tri_normal,
-        scene.prim_mat.astype(jnp.float32)[:, None],
-    ], axis=1)
-    rows = exact_rows(packed, idx)
+    # One packed-row fetch instead of seven takes: TPU's native gather is
+    # serialized per row (measured ~4 ms per 57.6k-ray bounce), so per-prim
+    # hit fields ride either ``packed_rows`` — the winner's row emitted by
+    # the cluster-march kernel itself (ops/cluster_sweep, free) — or a
+    # single take/one-hot matmul (ops/gather.exact_rows), whose backward (a
+    # scatter-add matmul) carries the v0/e1/e2 gradients. ``packed_rows``
+    # is detached: only the non-differentiable path may pass it.
+    if packed_rows is not None:
+        rows = packed_rows
+    else:
+        from pathtracer_tpu.ops.gather import exact_rows
+        packed = jnp.concatenate([
+            scene.prim_type.astype(jnp.float32)[:, None],
+            scene.v0, scene.e1, scene.e2,
+            scene.radius[:, None], scene.tri_normal,
+            scene.prim_mat.astype(jnp.float32)[:, None],
+        ], axis=1)
+        rows = exact_rows(packed, idx)
     ptype = rows[:, 0].astype(jnp.int32)
     v0 = rows[:, 1:4]
     e1 = rows[:, 4:7]

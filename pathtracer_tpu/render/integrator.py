@@ -112,6 +112,11 @@ def trace(scene: Scene,
     # answer to the reference's per-thread early break, main.cu:27-31).
     # Results are identical either way: dead rays' hits are masked out.
     handles_dead = getattr(closest_hit_fn, "handles_dead", False)
+    # accel structures that can emit the winner's packed hit-field row from
+    # inside the kernel (cluster march) spare the per-bounce scene-row
+    # gather; the rows are detached, so only the non-AD path uses them
+    query_rows = (None if differentiable
+                  else getattr(closest_hit_fn, "query_rows", None))
 
     def bounce_step(depth, carry):
         (o, d, atten, alive, absorbed, emitted_acc, spec_prev, prev_pdf,
@@ -123,10 +128,16 @@ def trace(scene: Scene,
         d_query = jnp.where(alive[:, None], d, 0.0) if handles_dead else d
         n_exec = n_exec + (jnp.sum(alive, dtype=jnp.int32)
                            if handles_dead else jnp.int32(n_rays))
-        idx, _, hit_valid = closest_hit_fn(jax.lax.stop_gradient(o),
-                                           jax.lax.stop_gradient(d_query))
+        if query_rows is not None:
+            idx, _, hit_valid, prows = query_rows(
+                jax.lax.stop_gradient(o), jax.lax.stop_gradient(d_query))
+        else:
+            idx, _, hit_valid = closest_hit_fn(
+                jax.lax.stop_gradient(o), jax.lax.stop_gradient(d_query))
+            prows = None
         rec = intersect.hit_records_from_prims(
-            scene, idx, o, d, jnp.float32(t_min), intersect.BIG_T, hit_valid)
+            scene, idx, o, d, jnp.float32(t_min), intersect.BIG_T, hit_valid,
+            packed_rows=prows)
 
         sc = materials.scatter(scene, rec, d, uniforms)
 

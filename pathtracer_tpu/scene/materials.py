@@ -92,7 +92,12 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
         scene.emit,
         scene.tex_id.astype(jnp.float32)[:, None],
     ], axis=1)
-    rows = exact_rows(packed, rec.mat_id)
+    # material tables are small (M ~ 10^0..10^2): force the one-hot matmul
+    # on TPU — the native gather serializes per OUTPUT row (~ms per 57.6k
+    # wavefront) regardless of table size
+    import jax
+    rows = exact_rows(packed, rec.mat_id,
+                      force_matmul=jax.default_backend() == "tpu")
     mtype = rows[:, 0].astype(jnp.int32)
     albedo = rows[:, 1:4]
     fuzz = rows[:, 4]
