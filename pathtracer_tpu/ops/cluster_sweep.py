@@ -81,10 +81,7 @@ def _window_kernel(starts_ref, skips_ref, phi_ref, a_ref, cols_ref, sph_ref,
             t_acc, b_acc = carry
             c = start + j
             blk = cols_ref[pl.ds(c, 1), :, :][0]
-            S = jax.lax.dot_general(
-                phi, blk, (((1,), (0,)), ((), ())),
-                precision=tensor_sweep.SWEEP_PRECISION,
-                preferred_element_type=jnp.float32)
+            S = tensor_sweep.sweep_dot(phi, blk)
             sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
             valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
             t_eff = tensor_sweep._epilogue(
@@ -379,10 +376,7 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
         j, t_acc, b_acc, r_acc = state
         c = ids_ref[i, j]
         blk = cols_ref[pl.ds(c, 1), :, :][0]
-        S = jax.lax.dot_general(
-            phi, blk, (((1,), (0,)), ((), ())),
-            precision=tensor_sweep.SWEEP_PRECISION,
-            preferred_element_type=jnp.float32)
+        S = tensor_sweep.sweep_dot(phi, blk)
         sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
         valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
         t_eff = tensor_sweep._epilogue(
@@ -392,17 +386,23 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
         local_t = jnp.min(t_eff, axis=1)
         better = local_t < t_acc
         if with_rows:
-            # emit the winner's hit-field row right here — a one-hot
-            # lane-contraction against the cluster's (16, K) field block —
-            # so the integrator never gathers scene rows per bounce (the
-            # serialized TPU gather cost ~4 ms per 57.6k queries).
+            # emit the winner's hit-field row right here — one-hot
+            # lane-contractions against the cluster's field block — so the
+            # integrator never gathers scene rows per bounce (the
+            # serialized TPU gather cost ~4 ms per 57.6k queries). The
+            # block stores each f32 field as an exact 3-way bf16 split
+            # (ops/clusters.py), so three DEFAULT-precision passes
+            # reproduce the f32 row bit-exactly at half the MXU cost of
+            # one HIGHEST contraction.
             oh = (jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
-                  == local_j[:, None]).astype(jnp.float32)
-            blkrows = rows_ref[pl.ds(c, 1), :, :][0]     # (16, K)
-            new_rows = jax.lax.dot_general(
-                blkrows, oh, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)      # (16, n)
+                  == local_j[:, None]).astype(jnp.bfloat16)
+            blk48 = rows_ref[pl.ds(c, 1), :, :][0]       # (48, K) bf16
+
+            def sel(f0):
+                return jax.lax.dot_general(
+                    blk48[f0:f0 + 16], oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (16, n)
+            new_rows = (sel(0) + sel(16)) + sel(32)
             r_acc = jnp.where(better[None, :], new_rows, r_acc)
         return (j + 1,
                 jnp.where(better, local_t, t_acc),
@@ -423,7 +423,9 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
 def cluster_march(ct: ClusterTables, o, d, t_min,
                   ray_tile: int = DEF_RAY_TILE,
                   sort_rays: bool = True,
-                  with_rows: bool = False):
+                  with_rows: bool = False,
+                  active=None,
+                  extras=None):
     """Single-pass culled closest-hit: (prim_idx, t, valid), each (R,).
 
     The march-in-kernel strategy (default): rays are optionally binned by
@@ -433,17 +435,39 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     every lane's best hit provably precedes all unvisited clusters; misses
     process exactly the clusters they touch. Same contract/result as
     :func:`cluster_closest` with far lower per-query overhead (no
-    per-round sorts/culls/bitsets)."""
+    per-round sorts/culls/bitsets).
+
+    ``active`` ((R,) bool, optional): lanes to query; inactive lanes are
+    treated exactly like d == 0 lanes (resolve instantly as misses) but the
+    *true* d is preserved in the sorted outputs — callers that keep the
+    wavefront sorted need the last real direction for the sky lookup.
+
+    ``extras`` (tuple of (R,) arrays, optional — requires ``with_rows`` and
+    ``sort_rays`` and R % ray_tile == 0): the caller's per-ray state rides
+    the binning sort and the call *stays in sorted order* (no unsort at
+    all). Returns ``(idx, t, valid, rows, o_s, d_s, active_s, extras_s)``,
+    everything in march order — the sorted-wavefront integrator mode
+    (render/integrator.py): one sort per bounce carries the whole carry,
+    replacing the per-query sort + 19-payload unsort, and the bounce's
+    cluster binning doubles as dead-lane compaction (BASELINE's
+    "sorted-ray compaction batches" north star)."""
     r = o.shape[0]
     C_reg = ct.C_reg
     r_pad = -(-r // ray_tile) * ray_tile
     n_chunks = r_pad // ray_tile
+    keep_sorted = extras is not None
+    if keep_sorted:
+        assert with_rows and sort_rays and r_pad == r, (
+            "extras mode needs with_rows, sort_rays, chunk-aligned R")
 
     if r_pad != r:
         o = jnp.pad(o, ((0, r_pad - r), (0, 0)))
         d = jnp.pad(d, ((0, r_pad - r), (0, 0)))
 
-    active = jnp.any(d != 0.0, axis=1)
+    if active is None:
+        active = jnp.any(d != 0.0, axis=1)
+    else:
+        active = active & jnp.any(d != 0.0, axis=1)
     active0 = active  # caller order — masks dead-ray pseudo-hits below
     t_min = float(t_min)
     rid = jnp.arange(r_pad, dtype=jnp.int32)
@@ -453,17 +477,24 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         key = jnp.argmin(entry, axis=1).astype(jnp.int32)
         key = jnp.where(jnp.min(entry, axis=1) >= BIG * 0.5,
                         jnp.int32(C_reg), key)
+        n_extra = len(extras) if keep_sorted else 0
         ops = jax.lax.sort(
             [key, o[:, 0], o[:, 1], o[:, 2],
-             d[:, 0], d[:, 1], d[:, 2], rid], num_keys=1)
+             d[:, 0], d[:, 1], d[:, 2], rid,
+             active.astype(jnp.int32)]
+            + ([jnp.asarray(e) for e in extras] if keep_sorted else []),
+            num_keys=1)
         o = jnp.stack(ops[1:4], axis=1)
         d = jnp.stack(ops[4:7], axis=1)
         rid = ops[7]
-        entry = _cull(o, d, jnp.any(d != 0.0, axis=1), ct.cmin, ct.cmax,
-                      t_min)
+        active = ops[8] != 0
+        if keep_sorted:
+            extras = tuple(ops[9:9 + n_extra])
+        entry = _cull(o, d, active, ct.cmin, ct.cmax, t_min)
 
-    phi = ray_features(o, d)
-    a = vec.dot(d, d)
+    d_eff = jnp.where(active[:, None], d, 0.0)
+    phi = ray_features(o, d_eff)
+    a = vec.dot(d_eff, d_eff)
     a = jnp.where(a == 0.0, 1.0, a)
     # per-lane stop gate: the lane's farthest touched-cluster entry. The
     # nudge keeps the gate strictly above the entry it equals (its own last
@@ -473,8 +504,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # lose backdrop hits. Inactive (d == 0) lanes never gate.
     gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=1)
     gate = gate * (1.0 + 1e-5) + 1e-5
-    active_now = jnp.any(d != 0.0, axis=1)
-    gate = jnp.where(active_now, jnp.maximum(gate, -BIG * 0.5), -BIG)
+    gate = jnp.where(active, jnp.maximum(gate, -BIG * 0.5), -BIG)
 
     # per-chunk ascending cluster order by entry distance; slot 0 = the
     # residual tile, always processed (entry -BIG)
@@ -529,7 +559,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                          lambda i, s, e: (0, 0, 0)),
             pl.BlockSpec((C_tot, 1, K), lambda i, s, e: (0, 0, 0)),
             pl.BlockSpec((C_tot, 1, K), lambda i, s, e: (0, 0, 0)),
-            pl.BlockSpec((C_tot, 16, K), lambda i, s, e: (0, 0, 0)),
+            pl.BlockSpec((C_tot, 48, K), lambda i, s, e: (0, 0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -542,25 +572,34 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
       ct.rows)
     t_best = t_best.reshape(-1)
     best = best.reshape(-1)
-    rows16 = (rows_k.transpose(0, 2, 1).reshape(r_pad, 16)
-              if with_rows else None)
+    # field-major (16, R): keeps the ray dim on lanes — transposing to
+    # (R, 16) would relayout every element onto 16-wide rows (minor dim
+    # far below the 128-lane register width)
+    rowsF = (rows_k.transpose(1, 0, 2).reshape(16, r_pad)
+             if with_rows else None)
+
+    if keep_sorted:
+        # dead (inactive) rays can register pseudo-hits on enclosing
+        # residual spheres (a is forced to 1, so an origin inside the
+        # backdrop "hits" it); the contract is that they are misses
+        found = (best >= 0) & active
+        idx = jnp.where(found, best, 0)
+        return idx, t_best, found, rowsF, o, d, active, extras
 
     if sort_rays:
         ops = [rid, t_best, best] + (
-            [rows16[:, f] for f in range(16)] if with_rows else [])
+            [rowsF[f] for f in range(16)] if with_rows else [])
         ops = jax.lax.sort(ops, num_keys=1)
         rid, t_best, best = ops[0], ops[1], ops[2]
         if with_rows:
-            rows16 = jnp.stack(ops[3:19], axis=1)
+            rowsF = jnp.stack(ops[3:19], axis=0)
     t_best = t_best[:r]
     best = best[:r]
-    # dead (d == 0) rays can register pseudo-hits on enclosing residual
-    # spheres (a is forced to 1, so an origin inside the backdrop "hits"
-    # it); the contract is that they are misses
+    # (same dead-ray pseudo-hit masking as above, in caller order)
     found = (best >= 0) & active0[:r]
     idx = jnp.where(found, best, 0)
     if with_rows:
-        return idx, t_best, found, rows16[:r]
+        return idx, t_best, found, rowsF[:, :r]
     return idx, t_best, found
 
 
@@ -600,4 +639,15 @@ def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
                                  ray_tile=ray_tile, sort_rays=sort_rays,
                                  with_rows=True)
         closest.query_rows = query_rows
+
+        if sort_rays:
+            # sorted-wavefront protocol (render/integrator.py): the
+            # caller's per-ray state rides the binning sort and everything
+            # stays in march order — no unsort per bounce at all.
+            def query_sorted(o, d, active, extras):
+                return cluster_march(ct, o, d, float(t_min),
+                                     ray_tile=ray_tile, with_rows=True,
+                                     active=active, extras=extras)
+            closest.query_sorted = query_sorted
+            closest.ray_tile = ray_tile
     return closest

@@ -70,11 +70,16 @@ class ClusterTables:
     cols: jnp.ndarray       # (C_reg+1, FEAT, OUTS*K) f32
     is_sphere: jnp.ndarray  # (C_reg+1, 1, K) int32
     valid_row: jnp.ndarray  # (C_reg+1, 1, K) int32
-    rows: jnp.ndarray       # (C_reg+1, 16, K) f32 — per-prim hit fields,
+    rows: jnp.ndarray       # (C_reg+1, 48, K) bf16 — per-prim hit fields,
                             # field-major: [prim_type, v0 xyz, e1 xyz,
                             # e2 xyz, radius, tri_normal xyz, prim_mat,
-                            # pad]; lets the march kernel emit the winning
-                            # primitive's record row without a TPU gather
+                            # pad], stored as an exact 3-way bf16 split
+                            # (rows [0:16] hi + [16:32] mid + [32:48] lo
+                            # sum to the f32 fields bit-exactly); the march
+                            # kernel emits the winning primitive's record
+                            # row as three one-lane-hot DEFAULT matmuls —
+                            # exact, half the MXU passes of a HIGHEST
+                            # contraction, and no TPU gather anywhere
     cmin: jnp.ndarray       # (C_reg, 3) regular-cluster AABB lower corners
     cmax: jnp.ndarray       # (C_reg, 3)
     perm: jnp.ndarray       # (total,) int32: original row per reordered row
@@ -172,9 +177,11 @@ def build_cluster_tables(scene: Scene, K: int = 128) -> ClusterTables:
     cmin = reordered["box_min"][:C_reg * K].reshape(C_reg, K, 3).min(axis=1)
     cmax = reordered["box_max"][:C_reg * K].reshape(C_reg, K, 3).max(axis=1)
 
-    # hit-record field rows, (C_tot, 16, K): same packing
-    # intersect.hit_records_from_prims uses, transposed field-major so the
-    # kernel's winner extraction is a lane-contraction matmul
+    # hit-record field rows: same packing intersect.hit_records_from_prims
+    # uses, transposed field-major so the kernel's winner extraction is a
+    # lane-contraction matmul. Split each f32 into three bf16 components
+    # (Dekker-style, exact: 24-bit mantissa = 3 x 8-bit chunks; bf16 shares
+    # f32's exponent range) so the kernel contracts at DEFAULT precision.
     hit_fields = jnp.concatenate([
         reordered["prim_type"].astype(jnp.float32)[:, None],
         reordered["v0"], reordered["e1"], reordered["e2"],
@@ -183,11 +190,16 @@ def build_cluster_tables(scene: Scene, K: int = 128) -> ClusterTables:
         jnp.zeros((total, 1), jnp.float32),
     ], axis=1)                                   # (total, 16)
     rows16 = hit_fields.reshape(C_reg + 1, K, 16).transpose(0, 2, 1)
+    hi = rows16.astype(jnp.bfloat16)
+    r1 = rows16 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    rows48 = jnp.concatenate([hi, mid, lo], axis=1)   # (C_tot, 48, K)
 
     return ClusterTables(
         scene=new_scene,
         cols=tables.cols,
         is_sphere=tables.is_sphere.astype(jnp.int32)[:, None, :],
         valid_row=tables.valid_row.astype(jnp.int32)[:, None, :],
-        rows=rows16,
+        rows=rows48,
         cmin=cmin, cmax=cmax, perm=perm, K=K, C_reg=C_reg)

@@ -142,12 +142,18 @@ def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
     # One packed-row fetch instead of seven takes: TPU's native gather is
     # serialized per row (measured ~4 ms per 57.6k-ray bounce), so per-prim
     # hit fields ride either ``packed_rows`` — the winner's row emitted by
-    # the cluster-march kernel itself (ops/cluster_sweep, free) — or a
-    # single take/one-hot matmul (ops/gather.exact_rows), whose backward (a
-    # scatter-add matmul) carries the v0/e1/e2 gradients. ``packed_rows``
-    # is detached: only the non-differentiable path may pass it.
+    # the cluster-march kernel itself (ops/cluster_sweep; field-major
+    # (16, R) so the ray dim stays on vector lanes) — or a single take/
+    # one-hot matmul (ops/gather.exact_rows), whose backward (a scatter-add
+    # matmul) carries the v0/e1/e2 gradients. ``packed_rows`` is detached:
+    # only the non-differentiable path may pass it.
     if packed_rows is not None:
-        rows = packed_rows
+        def f(i):
+            return packed_rows[i]
+
+        def f3(i):
+            return jnp.stack([packed_rows[i], packed_rows[i + 1],
+                              packed_rows[i + 2]], axis=1)
     else:
         from pathtracer_tpu.ops.gather import exact_rows
         packed = jnp.concatenate([
@@ -157,13 +163,19 @@ def hit_records_from_prims(scene: Scene, idx, o, d, t_min, t_max,
             scene.prim_mat.astype(jnp.float32)[:, None],
         ], axis=1)
         rows = exact_rows(packed, idx)
-    ptype = rows[:, 0].astype(jnp.int32)
-    v0 = rows[:, 1:4]
-    e1 = rows[:, 4:7]
-    e2 = rows[:, 7:10]
-    radius = rows[:, 10]
-    tri_n = rows[:, 11:14]
-    mat_id = rows[:, 14].astype(jnp.int32)
+
+        def f(i):
+            return rows[:, i]
+
+        def f3(i):
+            return rows[:, i:i + 3]
+    ptype = f(0).astype(jnp.int32)
+    v0 = f3(1)
+    e1 = f3(4)
+    e2 = f3(7)
+    radius = f(10)
+    tri_n = f3(11)
+    mat_id = f(14).astype(jnp.int32)
 
     s_hit, s_t = intersect_sphere(o, d, v0, radius, t_min, t_max)
     tr_hit, tr_t, b1, b2 = intersect_triangle(o, d, v0, e1, e2, t_min, t_max)

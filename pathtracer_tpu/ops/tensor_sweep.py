@@ -54,13 +54,41 @@ BIG = 3.0e38  # python float: also usable inside Pallas kernels
 # scenes with large coordinate extents (1000-radius backdrop spheres) the
 # low-precision pair scalars flip closest-hit winners and visibly corrupt
 # the image (docs/DESIGN.md). "high" applies to the XLA tensor path only —
-# Mosaic rejects Precision.HIGH inside Pallas kernels.
+# Mosaic rejects Precision.HIGH inside Pallas kernels; "bf16x3" is the
+# manual 3-pass decomposition of HIGH (hi/lo bf16 splits, dropping the
+# lo*lo term) that Mosaic *does* lower, halving MXU passes vs HIGHEST
+# inside kernels. Validate per-scene with an image diff before trusting
+# (roadmap §3): ~2^-16 relative error on the pair scalars.
 import os as _os
+SWEEP_MODE = _os.environ.get("PT_SWEEP_PRECISION", "highest").lower()
 SWEEP_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("PT_SWEEP_PRECISION", "highest").lower()]
+    "bf16x3": jax.lax.Precision.HIGH,   # XLA paths: HIGH == bf16x3
+}[SWEEP_MODE]
+
+
+def sweep_dot(x, y):
+    """The sweep contraction x @ y at the configured precision.
+
+    Shared by the XLA scan and every Pallas kernel so the precision story
+    stays in one place. In "bf16x3" mode the split-product runs explicitly
+    (Mosaic-lowerable); otherwise one dot_general with the enum."""
+    if SWEEP_MODE == "bf16x3":
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        yh = y.astype(jnp.bfloat16)
+        yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(u, v):
+            return jax.lax.dot_general(
+                u, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return d(xh, yh) + d(xh, yl) + d(xl, yh)
+    return jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())),
+        precision=SWEEP_PRECISION, preferred_element_type=jnp.float32)
 
 
 class SweepTables(NamedTuple):
@@ -199,10 +227,7 @@ def tensor_closest(tables: SweepTables, o, d, t_min,
     def tile_step(carry, inputs):
         t_best, best = carry
         cols, sph, valid_row, base = inputs
-        S = jax.lax.dot_general(
-            phi, cols, (((1,), (0,)), ((), ())),
-            precision=SWEEP_PRECISION,
-            preferred_element_type=jnp.float32)
+        S = sweep_dot(phi, cols)
         t_eff = _epilogue(S[:, 0:tile], S[:, tile:2 * tile],
                           S[:, 2 * tile:3 * tile], S[:, 3 * tile:4 * tile],
                           a, sph, valid_row, t_min, t_max)

@@ -43,6 +43,18 @@ def sky_color(direction):
     return (1.0 - t)[..., None] * SKY_WHITE + t[..., None] * SKY_BLUE
 
 
+def _uniform_by_ray(k, rid, m: int):
+    """(R, m) uniforms keyed by *ray id*, not lane position.
+
+    The sorted-wavefront mode permutes lanes every bounce, so a lane's
+    position carries no identity; folding the ray id into the key gives
+    every ray a deterministic stream independent of where sorting put it —
+    and makes the bounce RNG identical across sorted/unsorted accel paths
+    (cross-accel image tests rely on this)."""
+    keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(rid)
+    return jax.vmap(lambda kk: jax.random.uniform(kk, (m,)))(keys)
+
+
 # Type of a closest-hit query: (o, d, t_min) -> (idx, valid)
 ClosestHitFn = Callable
 
@@ -117,24 +129,61 @@ def trace(scene: Scene,
     # gather; the rows are detached, so only the non-AD path uses them
     query_rows = (None if differentiable
                   else getattr(closest_hit_fn, "query_rows", None))
+    # Sorted-wavefront mode (the BASELINE "sorted-ray compaction batches"
+    # north star): the march's binning sort carries the whole bounce carry
+    # and the wavefront STAYS in march order between bounces — no unsort
+    # per query; one final unsort by ray id restores pixel order. Dead
+    # lanes sort into idle chunks each bounce (compaction for free).
+    query_sorted = (None if differentiable
+                    else getattr(closest_hit_fn, "query_sorted", None))
+    tile = getattr(closest_hit_fn, "ray_tile", 1)
+    sorted_mode = query_sorted is not None and n_rays % tile == 0
+    # emitted_acc is identically zero without emissive primitives — skip
+    # hauling three payloads through the per-bounce sort in that case
+    carry_emit = bool(scene.num_lights > 0)
 
     def bounce_step(depth, carry):
         (o, d, atten, alive, absorbed, emitted_acc, spec_prev, prev_pdf,
-         n_exec) = carry
+         rid, n_exec) = carry
         bkey = jax.random.fold_in(key, depth)
-        uniforms = jax.random.uniform(bkey, (n_rays, 6), jnp.float32)
 
-        # Visibility query on detached geometry (discrete winner index).
-        d_query = jnp.where(alive[:, None], d, 0.0) if handles_dead else d
         n_exec = n_exec + (jnp.sum(alive, dtype=jnp.int32)
-                           if handles_dead else jnp.int32(n_rays))
-        if query_rows is not None:
-            idx, _, hit_valid, prows = query_rows(
-                jax.lax.stop_gradient(o), jax.lax.stop_gradient(d_query))
+                           if (handles_dead or sorted_mode)
+                           else jnp.int32(n_rays))
+        # Visibility query on detached geometry (discrete winner index).
+        if sorted_mode:
+            flags = (absorbed.astype(jnp.int32)
+                     | (spec_prev.astype(jnp.int32) << 1))
+            extras = [atten[:, 0], atten[:, 1], atten[:, 2], flags, rid]
+            if carry_emit:
+                extras += [emitted_acc[:, 0], emitted_acc[:, 1],
+                           emitted_acc[:, 2]]
+            if use_nee:
+                extras += [prev_pdf]
+            idx, _, hit_valid, prows, o, d, alive, ex = query_sorted(
+                jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+                alive, tuple(extras))
+            atten = jnp.stack(ex[0:3], axis=1)
+            flags, rid = ex[3], ex[4]
+            absorbed = (flags & 1) != 0
+            spec_prev = (flags & 2) != 0
+            if carry_emit:
+                emitted_acc = jnp.stack(ex[5:8], axis=1)
+            if use_nee:
+                prev_pdf = ex[-1]
         else:
-            idx, _, hit_valid = closest_hit_fn(
-                jax.lax.stop_gradient(o), jax.lax.stop_gradient(d_query))
-            prows = None
+            d_query = (jnp.where(alive[:, None], d, 0.0) if handles_dead
+                       else d)
+            if query_rows is not None:
+                idx, _, hit_valid, prows = query_rows(
+                    jax.lax.stop_gradient(o),
+                    jax.lax.stop_gradient(d_query))
+            else:
+                idx, _, hit_valid = closest_hit_fn(
+                    jax.lax.stop_gradient(o),
+                    jax.lax.stop_gradient(d_query))
+                prows = None
+        uniforms = _uniform_by_ray(bkey, rid, 6)
         rec = intersect.hit_records_from_prims(
             scene, idx, o, d, jnp.float32(t_min), intersect.BIG_T, hit_valid,
             packed_rows=prows)
@@ -164,8 +213,8 @@ def trace(scene: Scene,
         if rr:
             # kill is decided for the *continuation*; this bounce's own
             # contributions (emission, NEE direct light) keep full weight
-            u_rr = jax.random.uniform(jax.random.fold_in(bkey, 2),
-                                      (n_rays,), jnp.float32)
+            u_rr = _uniform_by_ray(jax.random.fold_in(bkey, 2), rid,
+                                   1)[:, 0]
             roulette = depth >= rr_depth
             killed = step & roulette & (u_rr >= K_RR_CONTINUE)
             survived_scale = jnp.where(step & roulette & ~killed,
@@ -175,11 +224,18 @@ def trace(scene: Scene,
             survived_scale = jnp.ones((n_rays,), jnp.float32)
 
         if use_nee:
-            # separate folded key so the legacy (non-NEE) sample streams are
-            # unchanged (golden-image stability)
-            u_nee = jax.random.uniform(jax.random.fold_in(bkey, 1),
-                                       (n_rays, 3), jnp.float32)
-            take_direct = step & (sc.is_diffuse | sc.is_glossy)
+            # separate folded key so the legacy (non-NEE) sample streams
+            # are unchanged
+            u_nee = _uniform_by_ray(jax.random.fold_in(bkey, 1), rid, 3)
+            # Light-sample at every diffuse/glossy hit — NOT gated on this
+            # bounce's own BSDF sample surviving (sc.ok): a fuzzy-metal
+            # sample lands below the surface with probability 1-q, and
+            # conditioning NEE on that independent event silently scales
+            # the direct term by q (a real ~15% bias at glancing incidence
+            # on fuzz 0.4). The absorbed path still earns this vertex's
+            # direct light; only the continuation dies.
+            take_direct = (active & ~sc.is_emissive
+                           & (sc.is_diffuse | sc.is_glossy))
             n_exec = n_exec + (jnp.sum(take_direct, dtype=jnp.int32)
                                if handles_dead else jnp.int32(n_rays))
             direct, _ = lights_mod.direct_lighting(
@@ -215,7 +271,7 @@ def trace(scene: Scene,
         # miss -> leave the loop, keep last direction for the sky lookup
         alive = alive & hit_valid & step
         return (o, d, atten, alive, absorbed, emitted_acc, spec_prev,
-                prev_pdf, n_exec)
+                prev_pdf, rid, n_exec)
 
     atten0 = jnp.ones((n_rays, 3), jnp.float32)
     alive0 = jnp.ones((n_rays,), bool)
@@ -223,12 +279,13 @@ def trace(scene: Scene,
     emitted0 = jnp.zeros((n_rays, 3), jnp.float32)
     spec0 = jnp.ones((n_rays,), bool)  # camera rays count emissive hits
     pdf0 = jnp.zeros((n_rays,), jnp.float32)
+    rid0 = jnp.arange(n_rays, dtype=jnp.int32)
     carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0, spec0,
-              pdf0, jnp.zeros((), jnp.int32))
+              pdf0, rid0, jnp.zeros((), jnp.int32))
 
     if differentiable:
-        (o, d, atten, alive, absorbed, emitted_acc, _, _, n_exec), _ = \
-            jax.lax.scan(
+        (o, d, atten, alive, absorbed, emitted_acc, _, _, rid, n_exec), _ \
+            = jax.lax.scan(
                 lambda c, depth: (bounce_step(depth, c), None), carry0,
                 jnp.arange(max_depth))
     else:
@@ -240,8 +297,22 @@ def trace(scene: Scene,
             depth, carry = state
             return depth + 1, bounce_step(depth, carry)
 
-        _, (o, d, atten, alive, absorbed, emitted_acc, _, _, n_exec) = \
-            jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+        _, (o, d, atten, alive, absorbed, emitted_acc, _, _, rid, n_exec) \
+            = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+
+    if sorted_mode:
+        # one unsort restores pixel order for everything the epilogue reads
+        ops = jax.lax.sort(
+            [rid, d[:, 0], d[:, 1], d[:, 2],
+             atten[:, 0], atten[:, 1], atten[:, 2],
+             emitted_acc[:, 0], emitted_acc[:, 1], emitted_acc[:, 2],
+             alive.astype(jnp.int32), absorbed.astype(jnp.int32)],
+            num_keys=1)
+        d = jnp.stack(ops[1:4], axis=1)
+        atten = jnp.stack(ops[4:7], axis=1)
+        emitted_acc = jnp.stack(ops[7:10], axis=1)
+        alive = ops[10] != 0
+        absorbed = ops[11] != 0
 
     if sky:
         background = sky_color(d)

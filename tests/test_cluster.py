@@ -221,7 +221,8 @@ def test_march_rows_match_scene_rows():
         np.asarray(sc.prim_mat, np.float32)[:, None],
         np.zeros((sc.num_prims, 1), np.float32)], axis=1)
     hit = np.asarray(valid)
-    np.testing.assert_array_equal(np.asarray(rows)[hit],
+    # kernel rows are field-major (16, R)
+    np.testing.assert_array_equal(np.asarray(rows).T[hit],
                                   packed[np.asarray(idx)[hit]])
 
 
