@@ -21,9 +21,11 @@ Default strategy — ``cluster_march`` (single pass):
    chunk-entry order (tiny per-chunk sort, scalar-prefetched) inside a
    ``lax.while_loop``, halting once every lane's ``min(best hit, own
    farthest touched entry)`` precedes the next cluster's entry. The
-   residual tile (huge prims) rides as slot 0 of every chunk. Exact: a
-   remaining cluster's per-ray entry is lower-bounded by its chunk entry,
-   and entries ascend (ulp margin applied in the cull);
+   residual tile (huge prims) is swept for every ray as one fused XLA
+   matmul outside the kernel and merged after (backdrop-only chunks march
+   zero clusters). Exact: a remaining cluster's per-ray entry is
+   lower-bounded by its chunk entry, and entries ascend (ulp margin
+   applied in the cull);
 4. unsort by ray id.
 
 ``cluster_closest`` (strategy="rounds") is the earlier multi-round
@@ -337,14 +339,15 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
     return jnp.where(found, best, 0), t_best, found
 
 
-def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
-                  sph_ref, valid_ref, rows_ref, t_ref, best_ref, rows_out,
-                  *, K, M, t_min, with_rows):
+def _march_kernel(ids_ref, ents_ref, ctype_ref, phi_ref, a_ref, gate_ref,
+                  cols_ref, sph_ref, valid_ref, rows_ref, t_ref, best_ref,
+                  rows_out, *, K, M, t_min, with_rows):
     """In-kernel cluster march for ray chunk i.
 
-    Walks the chunk's clusters in ascending chunk-entry order (ids/ents are
-    scalar-prefetched, computed by the caller; slot 0 is the residual tile
-    with entry -BIG so it always runs). Iteration j halts the march once
+    Walks the chunk's regular clusters in ascending chunk-entry order
+    (ids/ents are scalar-prefetched, computed by the caller; the residual
+    tile is swept in XLA by the caller and merged after — chunks whose
+    lanes touch no cluster march zero iterations). Iteration j halts once
     every lane's best hit is at or before the next cluster's entry — no
     remaining cluster can beat any lane (entries ascend, and each lane's
     own entry to a cluster >= the chunk's). All march state lives in
@@ -377,32 +380,56 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
         c = ids_ref[i, j]
         blk = cols_ref[pl.ds(c, 1), :, :][0]
         S = tensor_sweep.sweep_dot(phi, blk)
-        sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
         valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
-        t_eff = tensor_sweep._epilogue(
-            S[:, 0:K], S[:, K:2 * K], S[:, 2 * K:3 * K],
-            S[:, 3 * K:4 * K], a, sph != 0, valid != 0, t_min, BIG)
+        B, C0 = S[:, 0:K], S[:, K:2 * K]
+
+        # Branch on the cluster's (scalar-prefetched) type: pure clusters
+        # skip the unused epilogue half — every mesh cluster is
+        # all-triangle, and the sphere sqrt/two-root chain is the single
+        # most expensive part of the epilogue. Each branch reuses the SAME
+        # _epilogue halves the mixed path composes, so accepted t values
+        # are bit-identical whichever branch runs.
+        def t_mixed():
+            sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
+            return tensor_sweep._epilogue(
+                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], a,
+                sph != 0, valid != 0, t_min, BIG)
+
+        def t_sph_only():
+            t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a, t_min, BIG)
+            return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
+
+        def t_tri_only():
+            t_t, hit = tensor_sweep._epilogue_tri(
+                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], t_min, BIG)
+            return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
+
+        t_eff = jax.lax.switch(ctype_ref[c],
+                               [t_mixed, t_sph_only, t_tri_only])
         local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
         local_t = jnp.min(t_eff, axis=1)
         better = local_t < t_acc
         if with_rows:
-            # emit the winner's hit-field row right here — one-hot
-            # lane-contractions against the cluster's field block — so the
+            # emit the winner's hit-field row right here — a one-hot
+            # contraction against the cluster's field block — so the
             # integrator never gathers scene rows per bounce (the
             # serialized TPU gather cost ~4 ms per 57.6k queries). The
             # block stores each f32 field as an exact 3-way bf16 split
-            # (ops/clusters.py), so three DEFAULT-precision passes
-            # reproduce the f32 row bit-exactly at half the MXU cost of
-            # one HIGHEST contraction.
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
-                  == local_j[:, None]).astype(jnp.bfloat16)
+            # (ops/clusters.py); the hi/mid/lo components ride the carry
+            # *unsummed* as one (48, n) block and are folded into the f32
+            # fields after the loop, so each visit pays ONE
+            # DEFAULT-precision (48, K) @ (K, n) matmul instead of three
+            # (16, K) ones — on chip the extraction cost is per-matmul
+            # issue overhead (~0.5 us each), not FLOPs (isolation: a
+            # constant one-hot and a prebuilt one-hot cost the same).
+            # One-hot built already transposed, (K, n): contracting the
+            # lane dim of an (n, K) one-hot needs a Mosaic transpose.
+            oh_t = (jax.lax.broadcasted_iota(jnp.int32, (K, n), 0)
+                    == local_j[None, :]).astype(jnp.bfloat16)
             blk48 = rows_ref[pl.ds(c, 1), :, :][0]       # (48, K) bf16
-
-            def sel(f0):
-                return jax.lax.dot_general(
-                    blk48[f0:f0 + 16], oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (16, n)
-            new_rows = (sel(0) + sel(16)) + sel(32)
+            new_rows = jax.lax.dot_general(
+                blk48, oh_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (48, n)
             r_acc = jnp.where(better[None, :], new_rows, r_acc)
         return (j + 1,
                 jnp.where(better, local_t, t_acc),
@@ -411,13 +438,15 @@ def _march_kernel(ids_ref, ents_ref, phi_ref, a_ref, gate_ref, cols_ref,
 
     t0 = jnp.full((n,), BIG, jnp.float32)
     b0 = jnp.full((n,), -1, jnp.int32)
-    r0 = jnp.zeros((16, n), jnp.float32)
+    r0 = jnp.zeros((48 if with_rows else 16, n), jnp.float32)
     _, t_acc, b_acc, r_acc = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, b0, r0))
     t_ref[0, 0] = t_acc
     best_ref[0, 0] = b_acc
     if with_rows:
-        rows_out[0] = r_acc
+        # fold the exact bf16 3-way split: (hi + mid) + lo, the same f32
+        # addition order the per-visit variant used — bit-identical rows
+        rows_out[0] = (r_acc[0:16] + r_acc[16:32]) + r_acc[32:48]
 
 
 def cluster_march(ct: ClusterTables, o, d, t_min,
@@ -498,40 +527,53 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     a = jnp.where(a == 0.0, 1.0, a)
     # per-lane stop gate: the lane's farthest touched-cluster entry. The
     # nudge keeps the gate strictly above the entry it equals (its own last
-    # cluster must still process); the -BIG/2 floor keeps every active lane
-    # gating slot 0 (the residual tile, sentinel entry -BIG) — without it,
-    # lanes touching no regular cluster would skip the residual sweep and
-    # lose backdrop hits. Inactive (d == 0) lanes never gate.
+    # cluster must still process). Lanes touching no regular cluster (and
+    # inactive lanes) gate at -BIG — the residual tile is handled outside
+    # the kernel (below), so such lanes drive zero march iterations.
     gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=1)
     gate = gate * (1.0 + 1e-5) + 1e-5
-    gate = jnp.where(active, jnp.maximum(gate, -BIG * 0.5), -BIG)
+    gate = jnp.where(active, gate, -BIG)
 
-    # per-chunk ascending cluster order by entry distance; slot 0 = the
-    # residual tile, always processed (entry -BIG)
+    # per-chunk ascending cluster order by entry distance
     chunk_entry = entry.reshape(n_chunks, ray_tile, C_reg).min(axis=1)
     iota = jnp.broadcast_to(jnp.arange(C_reg, dtype=jnp.int32),
                             (n_chunks, C_reg))
     ents_sorted, ids_sorted = jax.lax.sort_key_val(chunk_entry, iota,
                                                    dimension=1)
     ids = jnp.concatenate(
-        [jnp.full((n_chunks, 1), C_reg, jnp.int32), ids_sorted,
-         jnp.zeros((n_chunks, 1), jnp.int32)], axis=1)
+        [ids_sorted, jnp.zeros((n_chunks, 1), jnp.int32)], axis=1)
     # terminal sentinel entry +BIG: the while cond max(t_best) > ents[j]
     # is false there (t_best <= BIG), guaranteeing termination at j == M
     ents = jnp.concatenate(
-        [jnp.full((n_chunks, 1), -BIG, jnp.float32), ents_sorted,
-         jnp.full((n_chunks, 1), BIG, jnp.float32)], axis=1)
-    M = C_reg + 1
-
+        [ents_sorted, jnp.full((n_chunks, 1), BIG, jnp.float32)], axis=1)
+    M = C_reg
     K = ct.K
+
+    # ---- residual tile in XLA, not in the march --------------------------
+    # The huge prims (backdrop spheres) concern EVERY ray, so their sweep is
+    # one big fused (r_pad, FEAT) @ (FEAT, OUTS*K) matmul + epilogue here —
+    # the same sweep_dot/_epilogue arithmetic as the kernel (bit-identical
+    # results; the march previously burned one in-kernel visit per chunk on
+    # this, ~28% of all visits, and backdrop-only chunks now march zero
+    # clusters). Merge semantics below reproduce the old residual-first
+    # visit order: a cluster hit must beat the residual strictly.
+    S_res = tensor_sweep.sweep_dot(phi, ct.cols[C_reg])
+    t_eff_res = tensor_sweep._epilogue(
+        S_res[:, 0:K], S_res[:, K:2 * K], S_res[:, 2 * K:3 * K],
+        S_res[:, 3 * K:4 * K], a, ct.is_sphere[C_reg, 0] != 0,
+        ct.valid_row[C_reg, 0] != 0, t_min, BIG)
+    j_res = jnp.argmin(t_eff_res, axis=1).astype(jnp.int32)
+    t_res = jnp.min(t_eff_res, axis=1)
+    b_res = jnp.where(t_res < BIG * 0.5, C_reg * K + j_res, -1)
+
     C_tot = ct.cols.shape[0]
     a3 = a.reshape(n_chunks, 1, ray_tile)
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                with_rows=with_rows)
     out_specs = [
-        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
-        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
+        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
+        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.float32),
@@ -539,27 +581,27 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     ]
     if with_rows:
         out_specs.append(
-            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e: (i, 0, 0)))
+            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e, c: (i, 0, 0)))
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 16, ray_tile), jnp.float32))
     else:
         # dummy single-block output so the kernel signature is uniform
         out_specs.append(
-            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e: (0, 0, 0)))
+            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e, c: (0, 0, 0)))
         out_shape.append(
             jax.ShapeDtypeStruct((1, 16, ray_tile), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((ray_tile, FEAT), lambda i, s, e: (i, 0)),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e: (i, 0, 0)),
+            pl.BlockSpec((ray_tile, FEAT), lambda i, s, e, c: (i, 0)),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
             pl.BlockSpec((C_tot, FEAT, OUTS * K),
-                         lambda i, s, e: (0, 0, 0)),
-            pl.BlockSpec((C_tot, 1, K), lambda i, s, e: (0, 0, 0)),
-            pl.BlockSpec((C_tot, 1, K), lambda i, s, e: (0, 0, 0)),
-            pl.BlockSpec((C_tot, 48, K), lambda i, s, e: (0, 0, 0)),
+                         lambda i, s, e, c: (0, 0, 0)),
+            pl.BlockSpec((C_tot, 1, K), lambda i, s, e, c: (0, 0, 0)),
+            pl.BlockSpec((C_tot, 1, K), lambda i, s, e, c: (0, 0, 0)),
+            pl.BlockSpec((C_tot, 48, K), lambda i, s, e, c: (0, 0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -568,8 +610,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
-    )(ids, ents, phi, a3, gate3, ct.cols, ct.is_sphere, ct.valid_row,
-      ct.rows)
+    )(ids, ents, ct.ctype, phi, a3, gate3, ct.cols, ct.is_sphere,
+      ct.valid_row, ct.rows)
     t_best = t_best.reshape(-1)
     best = best.reshape(-1)
     # field-major (16, R): keeps the ray dim on lanes — transposing to
@@ -577,6 +619,20 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # far below the 128-lane register width)
     rowsF = (rows_k.transpose(1, 0, 2).reshape(16, r_pad)
              if with_rows else None)
+
+    # merge the XLA residual result (strict better keeps residual on ties,
+    # exactly like the old residual-first in-kernel visit)
+    use_k = t_best < t_res
+    t_best = jnp.where(use_k, t_best, t_res)
+    best = jnp.where(use_k, best, b_res)
+    if with_rows:
+        oh_res = (jax.lax.broadcasted_iota(jnp.int32, (K, r_pad), 0)
+                  == j_res[None, :]).astype(jnp.bfloat16)
+        r48 = jax.lax.dot_general(
+            ct.rows[C_reg], oh_res, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (48, r_pad)
+        rows_res = (r48[0:16] + r48[16:32]) + r48[32:48]
+        rowsF = jnp.where(use_k[None, :], rowsF, rows_res)
 
     if keep_sorted:
         # dead (inactive) rays can register pseudo-hits on enclosing

@@ -82,6 +82,12 @@ class ClusterTables:
                             # contraction, and no TPU gather anywhere
     cmin: jnp.ndarray       # (C_reg, 3) regular-cluster AABB lower corners
     cmax: jnp.ndarray       # (C_reg, 3)
+    ctype: jnp.ndarray      # (C_reg+1,) int32: 0 mixed, 1 all-sphere,
+                            # 2 all-triangle (among valid rows) — the march
+                            # kernel branches on this to skip the unused
+                            # epilogue half (the sphere sqrt dominates
+                            # all-triangle clusters, i.e. every mesh
+                            # cluster)
     perm: jnp.ndarray       # (total,) int32: original row per reordered row
                             # (>= num original rows for padding)
     # static (pytree aux data — stay Python ints across jit boundaries)
@@ -196,10 +202,15 @@ def build_cluster_tables(scene: Scene, K: int = 128) -> ClusterTables:
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     rows48 = jnp.concatenate([hi, mid, lo], axis=1)   # (C_tot, 48, K)
 
+    any_s = (tables.is_sphere & tables.valid_row).any(axis=1)
+    any_t = (~tables.is_sphere & tables.valid_row).any(axis=1)
+    ctype = jnp.where(any_s & any_t, 0,
+                      jnp.where(any_s, 1, 2)).astype(jnp.int32)
+
     return ClusterTables(
         scene=new_scene,
         cols=tables.cols,
         is_sphere=tables.is_sphere.astype(jnp.int32)[:, None, :],
         valid_row=tables.valid_row.astype(jnp.int32)[:, None, :],
         rows=rows48,
-        cmin=cmin, cmax=cmax, perm=perm, K=K, C_reg=C_reg)
+        cmin=cmin, cmax=cmax, ctype=ctype, perm=perm, K=K, C_reg=C_reg)

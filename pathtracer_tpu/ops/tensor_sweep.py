@@ -174,12 +174,9 @@ def ray_features(o, d):
         jnp.ones((o.shape[0], 1), jnp.float32)], axis=1)
 
 
-def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
-    """Pair scalars (R, tile) x4 -> per-pair effective t (R, tile).
-
-    Shared by the XLA scan (tensor_closest) and the Pallas kernel
-    (ops/pallas_sweep.py) — pure jnp, python-scalar-friendly bounds."""
-    # sphere: quadratic with two-root selection (cuda_object.h:45-69)
+def _epilogue_sphere(B, C0, a, t_min, t_max):
+    """Sphere half: quadratic with two-root selection (cuda_object.h:45-69).
+    Returns (t_sph, hit_sph), each (R, tile)."""
     disc = B * B - a[:, None] * C0
     pos = disc > 0.0
     sqrt_d = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
@@ -190,9 +187,12 @@ def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
     ok1 = ~((root1 < t_min) | (t_max < root1))
     t_sph = jnp.where(ok0, root0, root1)
     hit_sph = (disc >= 0.0) & (ok0 | ok1)
+    return t_sph, hit_sph
 
-    # triangle: Möller–Trumbore strict rejections (cuda_object.h:70-90)
-    det, tdet, b1det, b2det = B, C0, P2, P3
+
+def _epilogue_tri(det, tdet, b1det, b2det, t_min, t_max):
+    """Triangle half: Möller–Trumbore strict rejections
+    (cuda_object.h:70-90). Returns (t_tri, hit_tri), each (R, tile)."""
     inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
     t_tri = tdet * inv_det
     b1 = b1det * inv_det
@@ -202,12 +202,26 @@ def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
             | (b2 >= 1.0) | (b2 <= 0.0)
             | (b1 + b2 <= 0.0) | (b1 + b2 >= 1.0)
             | (t_tri <= t_min) | (t_tri >= t_max))
+    return t_tri, ~miss
+
+
+def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
+    """Pair scalars (R, tile) x4 -> per-pair effective t (R, tile).
+
+    Shared by the XLA scan (tensor_closest) and the Pallas kernels
+    (ops/pallas_sweep.py, ops/cluster_sweep.py) — pure jnp,
+    python-scalar-friendly bounds. The march kernel calls the two halves
+    directly for pure-type clusters (skipping the sphere sqrt on
+    all-triangle clusters and vice versa); this composition of the same
+    halves keeps the arithmetic identical across all paths."""
+    t_sph, hit_sph = _epilogue_sphere(B, C0, a, t_min, t_max)
+    t_tri, hit_tri = _epilogue_tri(B, C0, P2, P3, t_min, t_max)
 
     # Select between the two primitive families on *floats* only — a
     # where() with bool branches lowers to an i1-vector select that Mosaic
     # rejects ("unsupported target bitwidth for truncation").
     t_sph_eff = jnp.where(hit_sph & valid_row[None, :], t_sph, BIG)
-    t_tri_eff = jnp.where(~miss & valid_row[None, :], t_tri, BIG)
+    t_tri_eff = jnp.where(hit_tri & valid_row[None, :], t_tri, BIG)
     return jnp.where(is_sphere[None, :], t_sph_eff, t_tri_eff)
 
 

