@@ -339,9 +339,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
     return jnp.where(found, best, 0), t_best, found
 
 
-def _march_kernel(ids_ref, ents_ref, ctype_ref, phi_ref, a_ref, gate_ref,
-                  cols_ref, sph_ref, valid_ref, rows_ref, t_ref, best_ref,
-                  rows_out, *, K, M, t_min, with_rows):
+def _march_kernel(*refs, K, M, t_min, with_rows, guard):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -352,12 +350,57 @@ def _march_kernel(ids_ref, ents_ref, ctype_ref, phi_ref, a_ref, gate_ref,
     remaining cluster can beat any lane (entries ascend, and each lane's
     own entry to a cluster >= the chunk's). All march state lives in
     registers/VMEM; the only XLA-side work per query is one cull and one
-    tiny per-chunk sort."""
+    tiny per-chunk sort.
+
+    Per-visit slab guard (``guard=True``, OFF by default — measured
+    NEGATIVE on chip): re-slab the 128 rays against the cluster's AABB and
+    ``lax.cond``-skip the visit when no live lane can improve. Exact (any
+    accepted hit is lower-bounded by the margined entry; images
+    bit-identical), and it does cut matmul visits ~16-37%%, but the
+    per-iteration cond breaks Mosaic's ability to overlap the next
+    cols-block DMA with compute: same-process A/B on the bunny bench
+    measured 7.69 -> 6.08 Mrays/s with the guard on. Kept env-gated
+    (PT_CLUSTER_GUARD=1) as infrastructure — a future Mosaic with cheaper
+    divergence or manual double-buffering could flip the sign. The guard's
+    two extra inputs (cluster AABB corners, per-chunk ray o/d blocks) are
+    only part of the kernel signature when guard=True — the default kernel
+    neither relayouts nor DMAs them."""
+    if guard:
+        (ids_ref, ents_ref, ctype_ref, cbox_ref, phi_ref, a_ref,
+         gate_ref, od_ref, cols_ref, sph_ref, valid_ref, rows_ref,
+         t_ref, best_ref, rows_out) = refs
+    else:
+        (ids_ref, ents_ref, ctype_ref, phi_ref, a_ref,
+         gate_ref, cols_ref, sph_ref, valid_ref, rows_ref,
+         t_ref, best_ref, rows_out) = refs
     i = pl.program_id(0)
     phi = phi_ref[:]
     a = a_ref[0, 0]
     gate = gate_ref[0, 0]
     n = phi.shape[0]
+    if guard:
+        od = od_ref[0]                 # (6, n): o xyz rows then d xyz
+        inv_d = 1.0 / od[3:6]          # (3, n), +-inf where d == 0
+        # live-lane mask for the guard: lanes with >= 1 touched cluster
+        # have gate = (positive entry)*(1+1e-5)+1e-5 > 0; inactive and
+        # cluster-less lanes sit at ~-BIG and must not force visits
+        lane_live = gate > 0.0
+
+    def lane_entry(c):
+        """Conservative per-lane entry to cluster c (same arithmetic as
+        the XLA _cull; BIG where the slab test misses)."""
+        tn = jnp.full((n,), t_min, jnp.float32)
+        tf = jnp.full((n,), BIG, jnp.float32)
+        for ax in range(3):
+            lo = (cbox_ref[c * 6 + ax] - od[ax]) * inv_d[ax]
+            hi = (cbox_ref[c * 6 + 3 + ax] - od[ax]) * inv_d[ax]
+            swap = inv_d[ax] < 0.0
+            near = jnp.where(swap, hi, lo)
+            far = jnp.where(swap, lo, hi)
+            tn = jnp.where(near > tn, near, tn)
+            tf = jnp.where(far < tf, far, tf)
+        ent = tn - (_ENTRY_MARGIN * jnp.abs(tn) + 1e-6)
+        return jnp.where(tf < tn, BIG, ent)
 
     # A genuine while_loop (single body instance) rather than a fori+cond
     # unroll: Mosaic unrolls static fori trip counts, and M copies of
@@ -378,63 +421,77 @@ def _march_kernel(ids_ref, ents_ref, ctype_ref, phi_ref, a_ref, gate_ref,
     def body(state):
         j, t_acc, b_acc, r_acc = state
         c = ids_ref[i, j]
-        blk = cols_ref[pl.ds(c, 1), :, :][0]
-        S = tensor_sweep.sweep_dot(phi, blk)
-        valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
-        B, C0 = S[:, 0:K], S[:, K:2 * K]
 
-        # Branch on the cluster's (scalar-prefetched) type: pure clusters
-        # skip the unused epilogue half — every mesh cluster is
-        # all-triangle, and the sphere sqrt/two-root chain is the single
-        # most expensive part of the epilogue. Each branch reuses the SAME
-        # _epilogue halves the mixed path composes, so accepted t values
-        # are bit-identical whichever branch runs.
-        def t_mixed():
-            sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
-            return tensor_sweep._epilogue(
-                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], a,
-                sph != 0, valid != 0, t_min, BIG)
+        def visit(carry):
+            t_acc, b_acc, r_acc = carry
+            blk = cols_ref[pl.ds(c, 1), :, :][0]
+            S = tensor_sweep.sweep_dot(phi, blk)
+            valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
+            B, C0 = S[:, 0:K], S[:, K:2 * K]
 
-        def t_sph_only():
-            t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a, t_min, BIG)
-            return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
+            # Branch on the cluster's (scalar-prefetched) type: pure
+            # clusters skip the unused epilogue half — every mesh cluster
+            # is all-triangle, and the sphere sqrt/two-root chain is the
+            # single most expensive part of the epilogue. Each branch
+            # reuses the SAME _epilogue halves the mixed path composes,
+            # so accepted t values are bit-identical whichever branch
+            # runs.
+            def t_mixed():
+                sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
+                return tensor_sweep._epilogue(
+                    B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], a,
+                    sph != 0, valid != 0, t_min, BIG)
 
-        def t_tri_only():
-            t_t, hit = tensor_sweep._epilogue_tri(
-                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], t_min, BIG)
-            return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
+            def t_sph_only():
+                t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a, t_min,
+                                                         BIG)
+                return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
 
-        t_eff = jax.lax.switch(ctype_ref[c],
-                               [t_mixed, t_sph_only, t_tri_only])
-        local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
-        local_t = jnp.min(t_eff, axis=1)
-        better = local_t < t_acc
-        if with_rows:
-            # emit the winner's hit-field row right here — a one-hot
-            # contraction against the cluster's field block — so the
-            # integrator never gathers scene rows per bounce (the
-            # serialized TPU gather cost ~4 ms per 57.6k queries). The
-            # block stores each f32 field as an exact 3-way bf16 split
-            # (ops/clusters.py); the hi/mid/lo components ride the carry
-            # *unsummed* as one (48, n) block and are folded into the f32
-            # fields after the loop, so each visit pays ONE
-            # DEFAULT-precision (48, K) @ (K, n) matmul instead of three
-            # (16, K) ones — on chip the extraction cost is per-matmul
-            # issue overhead (~0.5 us each), not FLOPs (isolation: a
-            # constant one-hot and a prebuilt one-hot cost the same).
-            # One-hot built already transposed, (K, n): contracting the
-            # lane dim of an (n, K) one-hot needs a Mosaic transpose.
-            oh_t = (jax.lax.broadcasted_iota(jnp.int32, (K, n), 0)
-                    == local_j[None, :]).astype(jnp.bfloat16)
-            blk48 = rows_ref[pl.ds(c, 1), :, :][0]       # (48, K) bf16
-            new_rows = jax.lax.dot_general(
-                blk48, oh_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (48, n)
-            r_acc = jnp.where(better[None, :], new_rows, r_acc)
-        return (j + 1,
-                jnp.where(better, local_t, t_acc),
-                jnp.where(better, c * K + local_j, b_acc),
-                r_acc)
+            def t_tri_only():
+                t_t, hit = tensor_sweep._epilogue_tri(
+                    B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], t_min,
+                    BIG)
+                return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
+
+            t_eff = jax.lax.switch(ctype_ref[c],
+                                   [t_mixed, t_sph_only, t_tri_only])
+            local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
+            local_t = jnp.min(t_eff, axis=1)
+            better = local_t < t_acc
+            if with_rows:
+                # emit the winner's hit-field row right here — a one-hot
+                # contraction against the cluster's field block — so the
+                # integrator never gathers scene rows per bounce (the
+                # serialized TPU gather cost ~4 ms per 57.6k queries).
+                # The block stores each f32 field as an exact 3-way bf16
+                # split (ops/clusters.py); the hi/mid/lo components ride
+                # the carry *unsummed* as one (48, n) block and are
+                # folded into the f32 fields after the loop, so each
+                # visit pays ONE DEFAULT-precision (48, K) @ (K, n)
+                # matmul instead of three (16, K) ones — on chip the
+                # extraction cost is per-matmul issue overhead (~0.5 us
+                # each), not FLOPs. One-hot built already transposed,
+                # (K, n): contracting the lane dim of an (n, K) one-hot
+                # needs a Mosaic transpose.
+                oh_t = (jax.lax.broadcasted_iota(jnp.int32, (K, n), 0)
+                        == local_j[None, :]).astype(jnp.bfloat16)
+                blk48 = rows_ref[pl.ds(c, 1), :, :][0]   # (48, K) bf16
+                new_rows = jax.lax.dot_general(
+                    blk48, oh_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (48, n)
+                r_acc = jnp.where(better[None, :], new_rows, r_acc)
+            return (jnp.where(better, local_t, t_acc),
+                    jnp.where(better, c * K + local_j, b_acc),
+                    r_acc)
+
+        if guard:
+            need = lane_live & (lane_entry(c) < t_acc)
+            t_acc, b_acc, r_acc = jax.lax.cond(
+                jnp.any(need), visit, lambda carry: carry,
+                (t_acc, b_acc, r_acc))
+        else:
+            t_acc, b_acc, r_acc = visit((t_acc, b_acc, r_acc))
+        return (j + 1, t_acc, b_acc, r_acc)
 
     t0 = jnp.full((n,), BIG, jnp.float32)
     b0 = jnp.full((n,), -1, jnp.int32)
@@ -454,7 +511,9 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                   sort_rays: bool = True,
                   with_rows: bool = False,
                   active=None,
-                  extras=None):
+                  extras=None,
+                  guard: bool = None,
+                  key2: bool = None):
     """Single-pass culled closest-hit: (prim_idx, t, valid), each (R,).
 
     The march-in-kernel strategy (default): rays are optionally binned by
@@ -480,6 +539,11 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     replacing the per-query sort + 19-payload unsort, and the bounce's
     cluster binning doubles as dead-lane compaction (BASELINE's
     "sorted-ray compaction batches" north star)."""
+    import os as _os
+    if guard is None:
+        guard = _os.environ.get("PT_CLUSTER_GUARD", "0") == "1"
+    if key2 is None:
+        key2 = _os.environ.get("PT_CLUSTER_KEY2", "1") != "0"
     r = o.shape[0]
     C_reg = ct.C_reg
     r_pad = -(-r // ray_tile) * ray_tile
@@ -503,9 +567,22 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
 
     entry = _cull(o, d, active, ct.cmin, ct.cmax, t_min)
     if sort_rays:
-        key = jnp.argmin(entry, axis=1).astype(jnp.int32)
-        key = jnp.where(jnp.min(entry, axis=1) >= BIG * 0.5,
-                        jnp.int32(C_reg), key)
+        # two-level bin key (nearest touched cluster, last touched
+        # cluster): rays sharing the nearest cluster but spanning
+        # different depth ranges stop dragging each other through their
+        # union (measured ~15% fewer marched clusters on bounce
+        # wavefronts). Untouched (and dead) lanes sort strictly last.
+        touched = entry < BIG * 0.5
+        kmin = jnp.argmin(entry, axis=1).astype(jnp.int32)
+        any_t = jnp.any(touched, axis=1)
+        if key2:
+            klast = (C_reg - 1 - jnp.argmax(touched[:, ::-1], axis=1)
+                     .astype(jnp.int32))
+            key = jnp.where(any_t,
+                            kmin * (C_reg + 1) + klast,
+                            jnp.int32(C_reg * (C_reg + 2)))
+        else:
+            key = jnp.where(any_t, kmin, jnp.int32(C_reg))
         n_extra = len(extras) if keep_sorted else 0
         ops = jax.lax.sort(
             [key, o[:, 0], o[:, 1], o[:, 2],
@@ -570,48 +647,66 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     a3 = a.reshape(n_chunks, 1, ray_tile)
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
-                               with_rows=with_rows)
-    out_specs = [
-        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
-        pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
-    ]
+                               with_rows=with_rows, guard=guard)
+    n_pref = 4 if guard else 3
+
+    def blk(shape, index=None):
+        if index is None:
+            return pl.BlockSpec(shape, lambda i, *_: (i,) + (0,) * (
+                len(shape) - 1))
+        return pl.BlockSpec(shape, lambda i, *_: index)
+
+    out_specs = [blk((1, 1, ray_tile)), blk((1, 1, ray_tile))]
     out_shape = [
         jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
     ]
     if with_rows:
-        out_specs.append(
-            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e, c: (i, 0, 0)))
+        out_specs.append(blk((1, 16, ray_tile)))
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 16, ray_tile), jnp.float32))
     else:
         # dummy single-block output so the kernel signature is uniform
-        out_specs.append(
-            pl.BlockSpec((1, 16, ray_tile), lambda i, s, e, c: (0, 0, 0)))
+        out_specs.append(blk((1, 16, ray_tile), (0, 0, 0)))
         out_shape.append(
             jax.ShapeDtypeStruct((1, 16, ray_tile), jnp.float32))
+    in_specs = [
+        blk((ray_tile, FEAT)),
+        blk((1, 1, ray_tile)),
+        blk((1, 1, ray_tile)),
+    ]
+    operands = [phi, a3, gate3]
+    if guard:
+        # per-visit slab-guard inputs: rays as (chunk, [o;d], lane) blocks
+        # and the cluster AABB corners as one flat scalar-prefetch array
+        # [min xyz, max xyz] per cluster (cheap SMEM scalars in-kernel)
+        od3 = (jnp.concatenate([o, d], axis=1).T
+               .reshape(6, n_chunks, ray_tile).transpose(1, 0, 2))
+        in_specs.append(blk((1, 6, ray_tile)))
+        operands.append(od3)
+    in_specs += [
+        blk((C_tot, FEAT, OUTS * K), (0, 0, 0)),
+        blk((C_tot, 1, K), (0, 0, 0)),
+        blk((C_tot, 1, K), (0, 0, 0)),
+        blk((C_tot, 48, K), (0, 0, 0)),
+    ]
+    operands += [ct.cols, ct.is_sphere, ct.valid_row, ct.rows]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=n_pref,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((ray_tile, FEAT), lambda i, s, e, c: (i, 0)),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, s, e, c: (i, 0, 0)),
-            pl.BlockSpec((C_tot, FEAT, OUTS * K),
-                         lambda i, s, e, c: (0, 0, 0)),
-            pl.BlockSpec((C_tot, 1, K), lambda i, s, e, c: (0, 0, 0)),
-            pl.BlockSpec((C_tot, 1, K), lambda i, s, e, c: (0, 0, 0)),
-            pl.BlockSpec((C_tot, 48, K), lambda i, s, e, c: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
     )
+    prefetch = [ids, ents, ct.ctype]
+    if guard:
+        cbox = jnp.concatenate([ct.cmin, ct.cmax], axis=1).reshape(-1)
+        prefetch.append(cbox)
     t_best, best, rows_k = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
-    )(ids, ents, ct.ctype, phi, a3, gate3, ct.cols, ct.is_sphere,
-      ct.valid_row, ct.rows)
+    )(*prefetch, *operands)
     t_best = t_best.reshape(-1)
     best = best.reshape(-1)
     # field-major (16, R): keeps the ray dim on lanes — transposing to
