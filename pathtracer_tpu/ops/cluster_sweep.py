@@ -168,6 +168,32 @@ def _cull(o, d, active, cmin, cmax, t_min):
     return jnp.where(hit, entry, BIG)
 
 
+def _cull_T(o, d, active, cmin, cmax, t_min):
+    """Transposed :func:`_cull`: (C_reg, R) f32, rays on the lane dim.
+
+    Bit-identical entries (same op order per element); the layout is the
+    point — C_reg is far below the 128-lane register width, so the (R, C)
+    orientation pads every elementwise pass 128/C x, while (C, R) keeps
+    lanes full (R is chunk-aligned) and pads only sublanes (C -> next
+    multiple of 8)."""
+    inv = 1.0 / d                                     # (R, 3), +-inf ok
+    shape = (cmin.shape[0], o.shape[0])
+    tn = jnp.full(shape, t_min, jnp.float32)
+    tf = jnp.full(shape, BIG, jnp.float32)
+    for ax in range(3):
+        inv_ax = inv[None, :, ax]
+        lo = (cmin[:, ax:ax + 1] - o[None, :, ax]) * inv_ax
+        hi = (cmax[:, ax:ax + 1] - o[None, :, ax]) * inv_ax
+        swap = inv_ax < 0.0
+        near = jnp.where(swap, hi, lo)
+        far = jnp.where(swap, lo, hi)
+        tn = jnp.where(near > tn, near, tn)
+        tf = jnp.where(far < tf, far, tf)
+    hit = ~(tf < tn) & active[None, :]
+    entry = tn - (_ENTRY_MARGIN * jnp.abs(tn) + 1e-6)
+    return jnp.where(hit, entry, BIG)
+
+
 def _expand_mask(words, C_reg):
     """(R, nw) uint32 bitset -> (R, C_reg) bool of processed clusters."""
     rep = jnp.repeat(words, 32, axis=1)[:, :C_reg]
@@ -565,7 +591,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     t_min = float(t_min)
     rid = jnp.arange(r_pad, dtype=jnp.int32)
 
-    entry = _cull(o, d, active, ct.cmin, ct.cmax, t_min)
+    entry = _cull_T(o, d, active, ct.cmin, ct.cmax, t_min)
     if sort_rays:
         # two-level bin key (nearest touched cluster, last touched
         # cluster): rays sharing the nearest cluster but spanning
@@ -573,30 +599,34 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # union (measured ~15% fewer marched clusters on bounce
         # wavefronts). Untouched (and dead) lanes sort strictly last.
         touched = entry < BIG * 0.5
-        kmin = jnp.argmin(entry, axis=1).astype(jnp.int32)
-        any_t = jnp.any(touched, axis=1)
+        kmin = jnp.argmin(entry, axis=0).astype(jnp.int32)
+        any_t = jnp.any(touched, axis=0)
         if key2:
-            klast = (C_reg - 1 - jnp.argmax(touched[:, ::-1], axis=1)
+            klast = (C_reg - 1 - jnp.argmax(touched[::-1, :], axis=0)
                      .astype(jnp.int32))
             key = jnp.where(any_t,
                             kmin * (C_reg + 1) + klast,
                             jnp.int32(C_reg * (C_reg + 2)))
         else:
             key = jnp.where(any_t, kmin, jnp.int32(C_reg))
+        # keep_sorted callers never unsort here (their extras carry the
+        # persistent ray id), so the march-internal rid payload is dropped
         n_extra = len(extras) if keep_sorted else 0
+        base = [key, o[:, 0], o[:, 1], o[:, 2],
+                d[:, 0], d[:, 1], d[:, 2],
+                active.astype(jnp.int32)]
         ops = jax.lax.sort(
-            [key, o[:, 0], o[:, 1], o[:, 2],
-             d[:, 0], d[:, 1], d[:, 2], rid,
-             active.astype(jnp.int32)]
-            + ([jnp.asarray(e) for e in extras] if keep_sorted else []),
+            base + ([jnp.asarray(e) for e in extras] if keep_sorted
+                    else [rid]),
             num_keys=1)
         o = jnp.stack(ops[1:4], axis=1)
         d = jnp.stack(ops[4:7], axis=1)
-        rid = ops[7]
-        active = ops[8] != 0
+        active = ops[7] != 0
         if keep_sorted:
-            extras = tuple(ops[9:9 + n_extra])
-        entry = _cull(o, d, active, ct.cmin, ct.cmax, t_min)
+            extras = tuple(ops[8:8 + n_extra])
+        else:
+            rid = ops[8]
+        entry = _cull_T(o, d, active, ct.cmin, ct.cmax, t_min)
 
     d_eff = jnp.where(active[:, None], d, 0.0)
     phi = ray_features(o, d_eff)
@@ -607,12 +637,12 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # cluster must still process). Lanes touching no regular cluster (and
     # inactive lanes) gate at -BIG — the residual tile is handled outside
     # the kernel (below), so such lanes drive zero march iterations.
-    gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=1)
+    gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=0)
     gate = gate * (1.0 + 1e-5) + 1e-5
     gate = jnp.where(active, gate, -BIG)
 
     # per-chunk ascending cluster order by entry distance
-    chunk_entry = entry.reshape(n_chunks, ray_tile, C_reg).min(axis=1)
+    chunk_entry = entry.reshape(C_reg, n_chunks, ray_tile).min(axis=2).T
     iota = jnp.broadcast_to(jnp.arange(C_reg, dtype=jnp.int32),
                             (n_chunks, C_reg))
     ents_sorted, ids_sorted = jax.lax.sort_key_val(chunk_entry, iota,

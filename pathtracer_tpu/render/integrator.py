@@ -152,9 +152,11 @@ def trace(scene: Scene,
                            else jnp.int32(n_rays))
         # Visibility query on detached geometry (discrete winner index).
         if sorted_mode:
-            flags = (absorbed.astype(jnp.int32)
-                     | (spec_prev.astype(jnp.int32) << 1))
-            extras = [atten[:, 0], atten[:, 1], atten[:, 2], flags, rid]
+            # flags + ray id share one int32 sort payload (rid < 2^29)
+            packed = (rid
+                      | (absorbed.astype(jnp.int32) << 29)
+                      | (spec_prev.astype(jnp.int32) << 30))
+            extras = [atten[:, 0], atten[:, 1], atten[:, 2], packed]
             if carry_emit:
                 extras += [emitted_acc[:, 0], emitted_acc[:, 1],
                            emitted_acc[:, 2]]
@@ -164,11 +166,12 @@ def trace(scene: Scene,
                 jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
                 alive, tuple(extras))
             atten = jnp.stack(ex[0:3], axis=1)
-            flags, rid = ex[3], ex[4]
-            absorbed = (flags & 1) != 0
-            spec_prev = (flags & 2) != 0
+            packed = ex[3]
+            rid = packed & ((1 << 29) - 1)
+            absorbed = ((packed >> 29) & 1) != 0
+            spec_prev = ((packed >> 30) & 1) != 0
             if carry_emit:
-                emitted_acc = jnp.stack(ex[5:8], axis=1)
+                emitted_acc = jnp.stack(ex[4:7], axis=1)
             if use_nee:
                 prev_pdf = ex[-1]
         else:

@@ -53,6 +53,31 @@ def main():
     rid = jnp.arange(r, dtype=jnp.int32)
     N = 8
 
+    # Pre-sort the wavefront once: every part below sees march-order rays,
+    # exactly like a steady-state sorted-wavefront bounce (unsorted random
+    # rays make chunk candidate sets unions over 128 random lanes — the
+    # kernel then marches ~all clusters and the numbers mean nothing).
+    _closest0 = cs.make_cluster_closest_hit(ct, 1e-3)
+    _srt = jax.jit(lambda o_, d_: _closest0.query_sorted(
+        o_, d_, active, (rid,)))
+    _, _, _, _, o, d, _, (srt_rid,) = jax.block_until_ready(_srt(o, d))
+
+    # Calibration anchor: a fixed elementwise sweep whose steady-state cost
+    # is known from a good-state process; if this reads far off, the whole
+    # process is in the bad dispatch state — discard the run.
+    big = jnp.zeros((4096, 4096), jnp.float32)
+
+    @jax.jit
+    def _cal(x):
+        def step(i, acc):
+            return acc * 0.5 + 1.0
+        return jax.lax.fori_loop(0, 8, step, x)[0, 0]
+    jax.block_until_ready(_cal(big))
+    t0 = time.perf_counter()
+    jax.block_until_ready(_cal(big))
+    print(f"calib (8x 16M elementwise, expect ~0.1-0.2 ms/pass): "
+          f"{(time.perf_counter()-t0)/8*1e3:.3f} ms", flush=True)
+
     def loop(body):
         @jax.jit
         def f(o, d):
@@ -61,20 +86,23 @@ def main():
             return jax.lax.fori_loop(0, N, step, 0.0)
         return f
 
-    # --- cull ---
+    # --- cull (both orientations) ---
     cull = loop(lambda o_, d_: jnp.sum(
         cs._cull(o_, d_, active, ct.cmin, ct.cmax, 1e-3)[:, 0]))
-    print(f"cull:      {timeit(cull, o, d, n=N)*1e3:6.2f} ms", flush=True)
+    print(f"cull(R,C): {timeit(cull, o, d, n=N)*1e3:6.2f} ms", flush=True)
+    cull_t = loop(lambda o_, d_: jnp.sum(
+        cs._cull_T(o_, d_, active, ct.cmin, ct.cmax, 1e-3)[0, :]))
+    print(f"cull(C,R): {timeit(cull_t, o, d, n=N)*1e3:6.2f} ms", flush=True)
 
-    entry0 = cs._cull(o, d, active, ct.cmin, ct.cmax, 1e-3)
+    entry0 = cs._cull_T(o, d, active, ct.cmin, ct.cmax, 1e-3)
 
-    # --- key ---
+    # --- key (transposed orientation, matches production) ---
     def key_body(o_, d_):
         entry = entry0 + o_[0, 0] * 0
         touched = entry < BIG * 0.5
-        kmin = jnp.argmin(entry, axis=1).astype(jnp.int32)
-        any_t = jnp.any(touched, axis=1)
-        klast = (C_reg - 1 - jnp.argmax(touched[:, ::-1], axis=1)
+        kmin = jnp.argmin(entry, axis=0).astype(jnp.int32)
+        any_t = jnp.any(touched, axis=0)
+        klast = (C_reg - 1 - jnp.argmax(touched[::-1, :], axis=0)
                  .astype(jnp.int32))
         key = jnp.where(any_t, kmin * (C_reg + 1) + klast,
                         jnp.int32(C_reg * (C_reg + 2)))
@@ -84,7 +112,7 @@ def main():
 
     # --- sort (14 payloads, like the sorted-wavefront bounce) ---
     extras = [u[0], u[1], u[2], rid, rid] + [u[3], u[4], u[0]]
-    key0 = jnp.argmin(entry0, axis=1).astype(jnp.int32)
+    key0 = jnp.argmin(entry0, axis=0).astype(jnp.int32)
 
     def sort_body(o_, d_):
         ops = jax.lax.sort(
@@ -98,10 +126,10 @@ def main():
 
     # --- post-sort: gate + chunk entry ordering ---
     def chunkent_body(o_, d_):
-        entry = cs._cull(o_, d_, active, ct.cmin, ct.cmax, 1e-3)
-        gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=1)
+        entry = cs._cull_T(o_, d_, active, ct.cmin, ct.cmax, 1e-3)
+        gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=0)
         gate = gate * (1.0 + 1e-5) + 1e-5
-        chunk_entry = entry.reshape(n_chunks, ray_tile, C_reg).min(axis=1)
+        chunk_entry = entry.reshape(C_reg, n_chunks, ray_tile).min(axis=2).T
         iota = jnp.broadcast_to(jnp.arange(C_reg, dtype=jnp.int32),
                                 (n_chunks, C_reg))
         ents_s, ids_s = jax.lax.sort_key_val(chunk_entry, iota, dimension=1)
@@ -132,9 +160,9 @@ def main():
 
     # --- kernel only (precomputed inputs, march pallas_call per iter) ---
     entry = entry0
-    gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=1)
+    gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=0)
     gate = gate * (1.0 + 1e-5) + 1e-5
-    chunk_entry = entry.reshape(n_chunks, ray_tile, C_reg).min(axis=1)
+    chunk_entry = entry.reshape(C_reg, n_chunks, ray_tile).min(axis=2).T
     iota = jnp.broadcast_to(jnp.arange(C_reg, dtype=jnp.int32),
                             (n_chunks, C_reg))
     ents_s, ids_s = jax.lax.sort_key_val(chunk_entry, iota, dimension=1)
