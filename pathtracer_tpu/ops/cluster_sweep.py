@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pathtracer_tpu.core import vec
 from pathtracer_tpu.ops import tensor_sweep
-from pathtracer_tpu.ops.clusters import ClusterTables, build_cluster_tables
+from pathtracer_tpu.ops.clusters import (K_RES, ClusterTables,
+                                          build_cluster_tables)
 from pathtracer_tpu.ops.tensor_sweep import BIG, FEAT, OUTS, ray_features
 
 DEF_RAY_TILE = 128
@@ -469,8 +470,8 @@ def _march_kernel(*refs, K, M, t_min, with_rows, guard):
                     sph != 0, valid != 0, t_min, BIG)
 
             def t_sph_only():
-                t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a, t_min,
-                                                         BIG)
+                t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a[:, None],
+                                                         t_min, BIG)
                 return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
 
             def t_tri_only():
@@ -657,21 +658,42 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     K = ct.K
 
     # ---- residual tile in XLA, not in the march --------------------------
-    # The huge prims (backdrop spheres) concern EVERY ray, so their sweep is
-    # one big fused (r_pad, FEAT) @ (FEAT, OUTS*K) matmul + epilogue here —
-    # the same sweep_dot/_epilogue arithmetic as the kernel (bit-identical
-    # results; the march previously burned one in-kernel visit per chunk on
-    # this, ~28% of all visits, and backdrop-only chunks now march zero
-    # clusters). Merge semantics below reproduce the old residual-first
-    # visit order: a cluster hit must beat the residual strictly.
-    S_res = tensor_sweep.sweep_dot(phi, ct.cols[C_reg])
-    t_eff_res = tensor_sweep._epilogue(
-        S_res[:, 0:K], S_res[:, K:2 * K], S_res[:, 2 * K:3 * K],
-        S_res[:, 3 * K:4 * K], a, ct.is_sphere[C_reg, 0] != 0,
-        ct.valid_row[C_reg, 0] != 0, t_min, BIG)
-    j_res = jnp.argmin(t_eff_res, axis=1).astype(jnp.int32)
-    t_res = jnp.min(t_eff_res, axis=1)
-    b_res = jnp.where(t_res < BIG * 0.5, C_reg * K + j_res, -1)
+    # The huge prims (backdrop spheres) concern EVERY ray, so their sweep
+    # runs once per query here rather than as an in-kernel visit per chunk
+    # (previously ~28% of all visits; backdrop-only chunks now march zero
+    # clusters). It is *skinny and transposed*: huge prims sort to the very
+    # END of the residual tile (ops/clusters.py clamps their count to
+    # K_RES = 8), so only the last K_RES columns are tested, as a
+    # (OUTS*K_RES, FEAT) @ (FEAT, R) matmul + (K_RES, R) epilogue with rays
+    # on the lane dim — a (R, K_RES) orientation would pad 8 -> 128 lanes
+    # (16x wasted VPU work), and the old full-width sweep paid the whole
+    # (R, K) epilogue for <= 8 real prims. Same sweep_dot/_epilogue-half
+    # arithmetic => per-prim t bit-identical; argmin tie order among the
+    # kept prims is preserved. Merge semantics below reproduce the old
+    # residual-first visit order: a cluster hit must beat the residual
+    # strictly.
+    phi_T = jnp.stack([
+        d_eff[:, 0], d_eff[:, 1], d_eff[:, 2],
+        o[:, 0], o[:, 1], o[:, 2],
+        o[:, 1] * d_eff[:, 2] - o[:, 2] * d_eff[:, 1],
+        o[:, 2] * d_eff[:, 0] - o[:, 0] * d_eff[:, 2],
+        o[:, 0] * d_eff[:, 1] - o[:, 1] * d_eff[:, 0],
+        vec.dot(o, d_eff), vec.dot(o, o),
+        jnp.ones((r_pad,), jnp.float32)], axis=0)        # (FEAT, R)
+    colsK = ct.cols[C_reg]                               # (FEAT, OUTS*K)
+    res_cols = jnp.concatenate(
+        [colsK[:, k * K + K - K_RES: (k + 1) * K] for k in range(OUTS)],
+        axis=1).T                                        # (OUTS*K_RES, FEAT)
+    S_res = tensor_sweep.sweep_dot(res_cols, phi_T)      # (OUTS*K_RES, R)
+    t_eff_res = tensor_sweep._epilogue_T(
+        S_res[0:K_RES], S_res[K_RES:2 * K_RES],
+        S_res[2 * K_RES:3 * K_RES], S_res[3 * K_RES:4 * K_RES], a,
+        ct.is_sphere[C_reg, 0, K - K_RES:] != 0,
+        ct.valid_row[C_reg, 0, K - K_RES:] != 0, t_min, BIG)
+    j_res = jnp.argmin(t_eff_res, axis=0).astype(jnp.int32)
+    t_res = jnp.min(t_eff_res, axis=0)
+    b_res = jnp.where(t_res < BIG * 0.5,
+                      C_reg * K + (K - K_RES) + j_res, -1)
 
     C_tot = ct.cols.shape[0]
     a3 = a.reshape(n_chunks, 1, ray_tile)
@@ -751,10 +773,10 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     t_best = jnp.where(use_k, t_best, t_res)
     best = jnp.where(use_k, best, b_res)
     if with_rows:
-        oh_res = (jax.lax.broadcasted_iota(jnp.int32, (K, r_pad), 0)
+        oh_res = (jax.lax.broadcasted_iota(jnp.int32, (K_RES, r_pad), 0)
                   == j_res[None, :]).astype(jnp.bfloat16)
         r48 = jax.lax.dot_general(
-            ct.rows[C_reg], oh_res, (((1,), (0,)), ((), ())),
+            ct.rows[C_reg, :, K - K_RES:], oh_res, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (48, r_pad)
         rows_res = (r48[0:16] + r48[16:32]) + r48[32:48]
         rowsF = jnp.where(use_k[None, :], rowsF, rows_res)

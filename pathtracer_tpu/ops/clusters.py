@@ -50,6 +50,14 @@ _KEY_HUGE = jnp.uint32(0x80000000)
 # spheres ~3) without catching large-but-ordinary prims like Cornell walls.
 HUGE_EXTENT_FACTOR = 16.0
 
+# Static capacity of the *skinny* residual sweep: the march's XLA residual
+# pass only tests the LAST K_RES rows of the residual tile (huge prims sort
+# to the very end, after inert padding), so at most K_RES prims may
+# classify huge. Reference scenes have 0-3 (bunny: 2 backdrop + ground);
+# candidates beyond the K_RES largest are demoted to regular clusters —
+# exact either way, their AABBs just inflate the clusters they land in.
+K_RES = 8
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -128,7 +136,10 @@ def build_cluster_tables(scene: Scene, K: int = 128) -> ClusterTables:
     if K % 128 != 0:
         raise ValueError("cluster size K must be a multiple of 128 (lanes)")
     n0 = scene.num_prims
-    C_reg = max(1, -(-max(n0 - K, 1) // K))
+    # capacity >= n0: regular prims must NEVER spill into the residual
+    # tile — the march's skinny residual pass only tests its last K_RES
+    # rows (pads + huge prims sort behind every regular prim)
+    C_reg = max(1, -(-n0 // K))
     total = (C_reg + 1) * K
 
     rows = _pad_prim_rows(scene, total)
@@ -140,6 +151,13 @@ def build_cluster_tables(scene: Scene, K: int = 128) -> ClusterTables:
     med = jnp.nanmedian(jnp.where(is_real, extent, jnp.nan))
     med = jnp.where(jnp.isnan(med), 0.0, med)
     huge = is_real & (extent > jnp.maximum(HUGE_EXTENT_FACTOR * med, 1e-6))
+    # clamp to the K_RES largest (traceable rank via two tiny sorts): the
+    # skinny residual sweep only tests the last K_RES reordered rows
+    hkey = jnp.where(huge, -extent, jnp.float32(3e38))
+    iota_t = jnp.arange(total, dtype=jnp.int32)
+    _, by_size = jax.lax.sort([hkey, iota_t], num_keys=1, is_stable=True)
+    _, rank = jax.lax.sort([by_size, iota_t], num_keys=1)
+    huge = huge & (rank < K_RES)
 
     # morton domain over the regular (non-huge, real) prims only
     reg = is_real & ~huge

@@ -174,13 +174,15 @@ def ray_features(o, d):
         jnp.ones((o.shape[0], 1), jnp.float32)], axis=1)
 
 
-def _epilogue_sphere(B, C0, a, t_min, t_max):
+def _epilogue_sphere(B, C0, a2, t_min, t_max):
     """Sphere half: quadratic with two-root selection (cuda_object.h:45-69).
-    Returns (t_sph, hit_sph), each (R, tile)."""
-    disc = B * B - a[:, None] * C0
+    ``a2`` is |d|^2 *pre-broadcast* to B's orientation — a[:, None] when
+    rays are on axis 0, a[None, :] in the transposed orientation
+    (:func:`_epilogue_T`). Returns (t_sph, hit_sph), shaped like B."""
+    disc = B * B - a2 * C0
     pos = disc > 0.0
     sqrt_d = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
-    inv_a = 1.0 / a[:, None]
+    inv_a = 1.0 / a2
     root0 = (-B - sqrt_d) * inv_a
     root1 = (-B + sqrt_d) * inv_a
     ok0 = ~((root0 < t_min) | (t_max < root0))
@@ -214,7 +216,7 @@ def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
     directly for pure-type clusters (skipping the sphere sqrt on
     all-triangle clusters and vice versa); this composition of the same
     halves keeps the arithmetic identical across all paths."""
-    t_sph, hit_sph = _epilogue_sphere(B, C0, a, t_min, t_max)
+    t_sph, hit_sph = _epilogue_sphere(B, C0, a[:, None], t_min, t_max)
     t_tri, hit_tri = _epilogue_tri(B, C0, P2, P3, t_min, t_max)
 
     # Select between the two primitive families on *floats* only — a
@@ -223,6 +225,19 @@ def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
     t_sph_eff = jnp.where(hit_sph & valid_row[None, :], t_sph, BIG)
     t_tri_eff = jnp.where(hit_tri & valid_row[None, :], t_tri, BIG)
     return jnp.where(is_sphere[None, :], t_sph_eff, t_tri_eff)
+
+
+def _epilogue_T(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
+    """Transposed :func:`_epilogue`: pair scalars are (tile, R) with rays
+    on the lane dim, ``a``/masks are per-ray/per-prim rank-1. Composes the
+    SAME halves (bit-identical per-element arithmetic); only the broadcast
+    orientation differs. Used for skinny prim tiles (the 8-wide residual
+    sweep) where a (R, tile) layout would pad tile up to 128 lanes."""
+    t_sph, hit_sph = _epilogue_sphere(B, C0, a[None, :], t_min, t_max)
+    t_tri, hit_tri = _epilogue_tri(B, C0, P2, P3, t_min, t_max)
+    t_sph_eff = jnp.where(hit_sph & valid_row[:, None], t_sph, BIG)
+    t_tri_eff = jnp.where(hit_tri & valid_row[:, None], t_tri, BIG)
+    return jnp.where(is_sphere[:, None], t_sph_eff, t_tri_eff)
 
 
 def tensor_closest(tables: SweepTables, o, d, t_min,

@@ -75,8 +75,14 @@ def main():
     jax.block_until_ready(_cal(big))
     t0 = time.perf_counter()
     jax.block_until_ready(_cal(big))
+    cal = (time.perf_counter() - t0) / 8 * 1e3
     print(f"calib (8x 16M elementwise, expect ~0.1-0.2 ms/pass): "
-          f"{(time.perf_counter()-t0)/8*1e3:.3f} ms", flush=True)
+          f"{cal:.3f} ms", flush=True)
+    if cal > 1.0:
+        # bad chip/host state (bimodal tunnel latency or host contention):
+        # every number below would be garbage — bail so a wrapper can retry
+        print("BAD STATE — timings unusable; exit 42", flush=True)
+        raise SystemExit(42)
 
     def loop(body):
         @jax.jit
@@ -222,6 +228,12 @@ def main():
         return jnp.sum(out[1])
     print(f"full(q_sorted): {timeit(loop(full_body), o, d, n=N)*1e3:6.2f} ms",
           flush=True)
+
+    # re-check the chip/host state after the run: if this drifted, the
+    # numbers above straddle a state change — discard
+    t0 = time.perf_counter()
+    jax.block_until_ready(_cal(big))
+    print(f"calib end: {(time.perf_counter()-t0)/8*1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
