@@ -2,10 +2,12 @@
 
 Run-to-run chip variance on the axon tunnel is ~±15%, so cross-process
 bench comparisons cannot resolve 10-30% kernel effects; this renders the
-bench workload with every (guard, key2) combination inside ONE process and
-reports steady-state times.
+bench workload with every requested variant inside ONE process and reports
+steady-state times + image diffs vs the first variant.
 
     python tools/tpu_ab_guard.py [--combos 00,10,01,11]
+    python tools/tpu_ab_guard.py --sweep-modes highest,bf16x3
+    python tools/tpu_ab_guard.py --chunks 57600,115200
 """
 import argparse
 import time
@@ -15,6 +17,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--combos", default="00,10,01,11",
                    help="list of <guard><key2> bits")
+    p.add_argument("--sweep-modes", default=None,
+                   help="A/B tensor_sweep.SWEEP_MODE instead (e.g. "
+                        "highest,bf16x3); overrides --combos")
+    p.add_argument("--chunks", default=None,
+                   help="A/B cfg.ray_chunk values instead (e.g. "
+                        "57600,115200); overrides --combos")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--spp", type=int, default=8)
@@ -32,21 +40,42 @@ def main():
     scene, cam = get_world("bunny")
     rays = args.width * args.height * args.spp * args.depth
 
+    from pathtracer_tpu.ops import tensor_sweep
     orig = cluster_sweep.cluster_march
     import numpy as np
     imgs = {}
-    for combo in args.combos.split(","):
-        g, k2 = combo[0] == "1", combo[1] == "1"
-
-        def patched(*a, **kw):
-            kw["guard"] = g
-            kw["key2"] = k2
-            return orig(*a, **kw)
-        cluster_sweep.cluster_march = patched
+    if args.sweep_modes:
+        variants = [("mode=" + m, {"sweep_mode": m})
+                    for m in args.sweep_modes.split(",")]
+    elif args.chunks:
+        variants = [("chunk=" + c, {"chunk": int(c)})
+                    for c in args.chunks.split(",")]
+    else:
+        variants = [(f"guard={c[0]} key2={c[1]}",
+                     {"guard": c[0] == "1", "key2": c[1] == "1"})
+                    for c in args.combos.split(",")]
+    for name, v in variants:
+        if "guard" in v:
+            def patched(*a, _g=v["guard"], _k=v["key2"], **kw):
+                kw["guard"] = _g
+                kw["key2"] = _k
+                return orig(*a, **kw)
+            cluster_sweep.cluster_march = patched
+        if "sweep_mode" in v:
+            # SWEEP_MODE/SWEEP_PRECISION are read at trace time — rebind
+            # and rebuild the renderer (fresh jit) for a same-process A/B
+            tensor_sweep.SWEEP_MODE = v["sweep_mode"]
+            tensor_sweep.SWEEP_PRECISION = {
+                "default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST,
+                "bf16x3": jax.lax.Precision.HIGH,
+            }[v["sweep_mode"]]
 
         cfg = RenderConfig(width=args.width, height=args.height,
                            spp=args.spp, max_depth=args.depth,
-                           accel="cluster", ray_chunk=57600, scene="bunny")
+                           accel="cluster", ray_chunk=v.get("chunk", 57600),
+                           scene="bunny")
         render = make_renderer(cfg, with_bvh=False)
         t0 = time.perf_counter()
         img = jax.block_until_ready(render(scene, None, cam, 0))
@@ -56,10 +85,10 @@ def main():
             img = render(scene, None, cam, 0)
         jax.block_until_ready(img)
         dt = (time.perf_counter() - t0) / 3
-        print(f"guard={int(g)} key2={int(k2)}: compile+1 {tc:.0f}s "
+        print(f"{name}: compile+1 {tc:.0f}s "
               f"steady {dt*1e3:.1f} ms  {rays/dt/1e6:.2f} Mrays/s",
               flush=True)
-        imgs[combo] = np.asarray(img)
+        imgs[name] = np.asarray(img)
     cluster_sweep.cluster_march = orig
     names = list(imgs)
     for nm in names[1:]:

@@ -17,13 +17,20 @@ import time
 import numpy as np
 
 
+DISPATCH_MS = [0.0]   # measured once; subtracted from every timing
+
+
 def timeit(f, *a, n=8):
+    """Per-iteration steady-state time of an n-iteration in-program loop,
+    with the (~24 ms on this tunnel) per-program dispatch latency
+    subtracted — without the subtraction every number carries
+    +dispatch/n of bias."""
     import jax
     out = jax.block_until_ready(f(*a))
     t0 = time.perf_counter()
     out = jax.block_until_ready(f(*a))
     dt = time.perf_counter() - t0
-    return dt / n
+    return max(0.0, dt - DISPATCH_MS[0] * 1e-3) / n
 
 
 def main():
@@ -72,23 +79,39 @@ def main():
         def step(i, acc):
             return acc * 0.5 + 1.0
         return jax.lax.fori_loop(0, 8, step, x)[0, 0]
+    # per-program dispatch latency (a ~trivial program, timed whole): on
+    # this tunnel it is ~24 ms in the common state — subtract it from every
+    # in-program timing below instead of treating it as a "bad state"
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    disp = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(disp(tiny))
+    ds = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(disp(tiny))
+        ds.append(time.perf_counter() - t0)
+    DISPATCH_MS[0] = sorted(ds)[len(ds) // 2] * 1e3
+    print(f"dispatch latency (median of 5): {DISPATCH_MS[0]:.2f} ms",
+          flush=True)
+
     jax.block_until_ready(_cal(big))
     t0 = time.perf_counter()
     jax.block_until_ready(_cal(big))
-    cal = (time.perf_counter() - t0) / 8 * 1e3
+    cal = (time.perf_counter() - t0 - DISPATCH_MS[0] * 1e-3) / 8 * 1e3
     print(f"calib (8x 16M elementwise, expect ~0.1-0.2 ms/pass): "
           f"{cal:.3f} ms", flush=True)
-    if cal > 1.0:
-        # bad chip/host state (bimodal tunnel latency or host contention):
-        # every number below would be garbage — bail so a wrapper can retry
+    if cal > 1.5:
+        # genuinely bad in-program throughput — numbers would be garbage
         print("BAD STATE — timings unusable; exit 42", flush=True)
         raise SystemExit(42)
 
     def loop(body):
+        # s * 1e-30 (not s * 0): XLA folds mul(s, 0) -> 0 and then hoists
+        # the loop-invariant body — several parts measured 0.00 ms that way
         @jax.jit
         def f(o, d):
             def step(i, s):
-                return s + body(o + s * 0, d)
+                return s + body(o + s * 1e-30, d)
             return jax.lax.fori_loop(0, N, step, 0.0)
         return f
 
@@ -104,7 +127,7 @@ def main():
 
     # --- key (transposed orientation, matches production) ---
     def key_body(o_, d_):
-        entry = entry0 + o_[0, 0] * 0
+        entry = entry0 + o_[0, 0] * 1e-30
         touched = entry < BIG * 0.5
         kmin = jnp.argmin(entry, axis=0).astype(jnp.int32)
         any_t = jnp.any(touched, axis=0)
@@ -122,7 +145,8 @@ def main():
 
     def sort_body(o_, d_):
         ops = jax.lax.sort(
-            [key0 + jnp.int32(o_[0, 0] * 0), o_[:, 0], o_[:, 1], o_[:, 2],
+            [key0 + (o_[0, 0] * 1e30).astype(jnp.int32) % 2,
+             o_[:, 0], o_[:, 1], o_[:, 2],
              d_[:, 0], d_[:, 1], d_[:, 2], rid,
              active.astype(jnp.int32)] + extras[:5],
             num_keys=1)
@@ -179,11 +203,12 @@ def main():
     a0 = vec.dot(d, d)
 
     def kernel_body(o_, d_):
-        phi = phi0 + o_[0, 0] * 0
+        phi = phi0 + o_[0, 0] * 1e-30
         a3 = a0.reshape(n_chunks, 1, ray_tile)
         gate3 = gate.reshape(n_chunks, 1, ray_tile)
         kernel = functools.partial(cs._march_kernel, K=K, M=C_reg,
-                                   t_min=1e-3, with_rows=True, guard=False)
+                                   t_min=1e-3, t_max=cs.BIG,
+                                   with_rows=True, guard=False)
         C_tot = ct.cols.shape[0]
 
         def blk(shape, index=None):
@@ -228,6 +253,30 @@ def main():
         return jnp.sum(out[1])
     print(f"full(q_sorted): {timeit(loop(full_body), o, d, n=N)*1e3:6.2f} ms",
           flush=True)
+
+    # chained variant (decompose-style): outputs feed the next query, like
+    # the integrator's sorted wavefront
+    @jax.jit
+    def chain(o_, d_):
+        def step(i, carry):
+            o2, d2, s = carry
+            out = closest.query_sorted(o2, d2, active, ex)
+            return out[4], out[5], s + jnp.sum(out[1])
+        return jax.lax.fori_loop(0, N, step, (o_, d_, 0.0))[2]
+    print(f"full(chained): {timeit(chain, o, d, n=N)*1e3:6.2f} ms",
+          flush=True)
+
+    # does a pallas custom-call inside fori_loop pay a per-iteration
+    # tunnel roundtrip? N-scaling: per-iter time constant across N => yes
+    for n_iter in (4, 32):
+        @jax.jit
+        def k_loop(o_, d_, _n=n_iter):
+            def step(i, s):
+                r = kernel_body(o_ + s * 1e-30, d_)
+                return s + r * 1e-30
+            return jax.lax.fori_loop(0, _n, step, 0.0)
+        print(f"kernel xN={n_iter}: {timeit(k_loop, o, d, n=n_iter)*1e3:6.2f}"
+              " ms/iter", flush=True)
 
     # re-check the chip/host state after the run: if this drifted, the
     # numbers above straddle a state change — discard
