@@ -366,7 +366,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
     return jnp.where(found, best, 0), t_best, found
 
 
-def _march_kernel(*refs, K, M, t_min, with_rows, guard):
+def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -467,17 +467,17 @@ def _march_kernel(*refs, K, M, t_min, with_rows, guard):
                 sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
                 return tensor_sweep._epilogue(
                     B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], a,
-                    sph != 0, valid != 0, t_min, BIG)
+                    sph != 0, valid != 0, t_min, t_max)
 
             def t_sph_only():
                 t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a[:, None],
-                                                         t_min, BIG)
+                                                         t_min, t_max)
                 return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
 
             def t_tri_only():
                 t_t, hit = tensor_sweep._epilogue_tri(
                     B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], t_min,
-                    BIG)
+                    t_max)
                 return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
 
             t_eff = jax.lax.switch(ctype_ref[c],
@@ -540,7 +540,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                   active=None,
                   extras=None,
                   guard: bool = None,
-                  key2: bool = None):
+                  key2: bool = None,
+                  t_max: float = None):
     """Single-pass culled closest-hit: (prim_idx, t, valid), each (R,).
 
     The march-in-kernel strategy (default): rays are optionally binned by
@@ -565,12 +566,27 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     (render/integrator.py): one sort per bounce carries the whole carry,
     replacing the per-query sort + 19-payload unsort, and the bounce's
     cluster binning doubles as dead-lane compaction (BASELINE's
-    "sorted-ray compaction batches" north star)."""
+    "sorted-ray compaction batches" north star).
+
+    ``t_max`` (static float, default BIG): hits at or beyond it are
+    rejected AND clusters entered beyond it are never marched (the per-lane
+    gate is clamped to it). Shadow queries pass 1.0 — the NEE segment is
+    unnormalized so the light sits at t == 1 for every ray — which both
+    skips beyond-light geometry and stops the march early."""
     import os as _os
     if guard is None:
         guard = _os.environ.get("PT_CLUSTER_GUARD", "0") == "1"
     if key2 is None:
         key2 = _os.environ.get("PT_CLUSTER_KEY2", "1") != "0"
+    if t_max is None:
+        t_max = BIG
+    # timing knockouts (tools/tpu_knockout.py — images are WRONG under
+    # either): PT_CLUSTER_STUB=kernel skips the march pallas_call
+    # entirely; =gate forces every lane's stop gate to -BIG so the kernel
+    # launches, DMAs its tables, and immediately exits each chunk's while
+    # loop — the difference isolates per-visit cost from launch+DMA cost
+    stub_kernel = _os.environ.get("PT_CLUSTER_STUB") == "kernel"
+    stub_gate = _os.environ.get("PT_CLUSTER_STUB") == "gate"
     r = o.shape[0]
     C_reg = ct.C_reg
     r_pad = -(-r // ray_tile) * ray_tile
@@ -583,6 +599,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     if r_pad != r:
         o = jnp.pad(o, ((0, r_pad - r), (0, 0)))
         d = jnp.pad(d, ((0, r_pad - r), (0, 0)))
+        if active is not None:
+            active = jnp.pad(active, (0, r_pad - r))
 
     if active is None:
         active = jnp.any(d != 0.0, axis=1)
@@ -640,7 +658,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # the kernel (below), so such lanes drive zero march iterations.
     gate = jnp.max(jnp.where(entry >= BIG * 0.5, -BIG, entry), axis=0)
     gate = gate * (1.0 + 1e-5) + 1e-5
+    if t_max < BIG * 0.5:
+        # clusters entered at or beyond t_max cannot yield accepted hits
+        # (the epilogue rejects t >= t_max) — stop the march there
+        gate = jnp.minimum(gate, jnp.float32(t_max))
     gate = jnp.where(active, gate, -BIG)
+    if stub_gate:
+        gate = jnp.minimum(gate, -BIG)
 
     # per-chunk ascending cluster order by entry distance
     chunk_entry = entry.reshape(C_reg, n_chunks, ray_tile).min(axis=2).T
@@ -689,7 +713,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         S_res[0:K_RES], S_res[K_RES:2 * K_RES],
         S_res[2 * K_RES:3 * K_RES], S_res[3 * K_RES:4 * K_RES], a,
         ct.is_sphere[C_reg, 0, K - K_RES:] != 0,
-        ct.valid_row[C_reg, 0, K - K_RES:] != 0, t_min, BIG)
+        ct.valid_row[C_reg, 0, K - K_RES:] != 0, t_min, float(t_max))
     j_res = jnp.argmin(t_eff_res, axis=0).astype(jnp.int32)
     t_res = jnp.min(t_eff_res, axis=0)
     b_res = jnp.where(t_res < BIG * 0.5,
@@ -699,7 +723,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     a3 = a.reshape(n_chunks, 1, ray_tile)
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
-                               with_rows=with_rows, guard=guard)
+                               t_max=float(t_max), with_rows=with_rows,
+                               guard=guard)
     n_pref = 4 if guard else 3
 
     def blk(shape, index=None):
@@ -753,12 +778,26 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     if guard:
         cbox = jnp.concatenate([ct.cmin, ct.cmax], axis=1).reshape(-1)
         prefetch.append(cbox)
-    t_best, best, rows_k = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=jax.default_backend() != "tpu",
-    )(*prefetch, *operands)
+    if stub_kernel:
+        # keep the kernel's XLA feeders (cull, gate, chunk-entry sort, phi)
+        # alive so the knockout isolates ONLY the pallas call: fold a
+        # bounded function of them into the stub outputs
+        keep = (jnp.sum(jnp.minimum(ents, 1.0)) +
+                jnp.sum(jnp.minimum(phi[:, 0], 1.0)) +
+                jnp.sum(jnp.maximum(gate, -1.0)) +
+                jnp.sum(ids).astype(jnp.float32) * 1e-30)
+        t_best = jnp.full((n_chunks, 1, ray_tile), BIG, jnp.float32) \
+            + keep * 1e-30
+        best = jnp.full((n_chunks, 1, ray_tile), -1, jnp.int32)
+        rows_k = jnp.zeros((n_chunks if with_rows else 1, 16, ray_tile),
+                           jnp.float32)
+    else:
+        t_best, best, rows_k = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=jax.default_backend() != "tpu",
+        )(*prefetch, *operands)
     t_best = t_best.reshape(-1)
     best = best.reshape(-1)
     # field-major (16, R): keeps the ray dim on lanes — transposing to
@@ -853,4 +892,15 @@ def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
                                      active=active, extras=extras)
             closest.query_sorted = query_sorted
             closest.ray_tile = ray_tile
+
+        # NEE occlusion query: the shadow segment is unnormalized (light at
+        # t == 1), so t_max = 1.0 rejects beyond-light geometry and stops
+        # the march at the light. No binning sort or unsort either — shadow
+        # rays originate at the (already march-ordered) hit points, so the
+        # incoming order is locality-preserving as-is.
+        def query_shadow(o, d, active=None):
+            return cluster_march(ct, o, d, float(t_min),
+                                 ray_tile=ray_tile, sort_rays=False,
+                                 active=active, t_max=1.0)
+        closest.query_shadow = query_shadow
     return closest

@@ -142,8 +142,16 @@ def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
     cos_l = jnp.abs(vec.dot(n_l, seg)) * inv_dist  # double-sided emitter
 
     seg_q = seg if active is None else jnp.where(active[:, None], seg, 0.0)
-    _, t_sh, sh_valid = closest_hit_fn(jax.lax.stop_gradient(origin),
-                                       jax.lax.stop_gradient(seg_q))
+    # occlusion-specialized query when the accel offers one (cluster march:
+    # no binning sort/unsort, march stops at the light via t_max = 1)
+    shadow_fn = getattr(closest_hit_fn, "query_shadow", None)
+    if shadow_fn is not None:
+        _, t_sh, sh_valid = shadow_fn(jax.lax.stop_gradient(origin),
+                                      jax.lax.stop_gradient(seg_q),
+                                      active)
+    else:
+        _, t_sh, sh_valid = closest_hit_fn(jax.lax.stop_gradient(origin),
+                                           jax.lax.stop_gradient(seg_q))
     unoccluded = (~sh_valid) | (t_sh >= 1.0 - eps)
 
     p_lobe = jnp.maximum(cos_s, 0.0) * vec.PI_INV

@@ -255,3 +255,35 @@ def test_render_rows_path_matches_gather_path():
     # a couple of grazing-hit pixels may pick a different (equal-t) winner
     bad = ~np.isclose(img_c, img_t, atol=1e-5)
     assert bad.sum() <= 2 * 3, (bad.sum(), np.abs(img_c - img_t).max())
+
+
+def test_query_shadow_occlusion_matches_closest_hit():
+    """The t_max=1 shadow query gives the same occlusion verdict as the
+    full closest-hit (occluded iff some hit lands below t = 1 - eps), and
+    identical t where both report a hit."""
+    scene, cam = worlds.get_world("cornell")
+    ct = build_cluster_tables(scene)
+    closest = make_cluster_closest_hit(ct, T_MIN)
+    key = jax.random.PRNGKey(11)
+    n = 256
+    o = jax.random.uniform(key, (n, 3)) * 400.0 + 70.0
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3)) * 300.0
+    _, t0, v0 = closest(o, d)
+    _, t1, v1 = closest.query_shadow(o, d)
+    eps = 1e-3
+    occ0 = np.asarray(v0 & (t0 < 1.0 - eps))
+    occ1 = np.asarray(v1 & (t1 < 1.0 - eps))
+    np.testing.assert_array_equal(occ0, occ1)
+    both = np.asarray(v0) & np.asarray(v1)
+    np.testing.assert_array_equal(np.asarray(t0)[both],
+                                  np.asarray(t1)[both])
+    # inactive lanes resolve as misses
+    act = jnp.zeros((n,), bool)
+    _, _, v2 = closest.query_shadow(o, d, act)
+    assert not bool(v2.any())
+    # non-chunk-aligned R with an active mask (pads must align too)
+    m = 200
+    act_m = jnp.arange(m) % 3 != 0
+    _, t3, v3 = closest.query_shadow(o[:m], d[:m], act_m)
+    occ3 = np.asarray(v3 & (t3 < 1.0 - eps))
+    np.testing.assert_array_equal(occ3, occ0[:m] & np.asarray(act_m))

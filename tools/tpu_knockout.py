@@ -9,6 +9,9 @@ attributes per-bounce cost by subtraction:
   full          the production render (baseline)
   kernel-stub   march pallas_call skipped, its XLA feeders kept alive
                 (full - kernel-stub ~ the kernel's true cost incl. launch)
+  gate-stub     kernel launches + DMAs tables but marches zero visits
+                (full - gate-stub ~ pure per-visit cost;
+                 gate-stub - kernel-stub ~ launch + table-DMA cost)
   sort-off      binning sort disabled (PT_CLUSTER_SORT=0): unsorted
                 wavefront, query_rows path — sort + keep-sorted protocol
   query-stub    query_sorted replaced by a shape-correct no-op: the
@@ -50,6 +53,8 @@ def main():
         cluster_sweep.make_cluster_closest_hit = orig_factory
         if name == "kernel-stub":
             os.environ["PT_CLUSTER_STUB"] = "kernel"
+        elif name == "gate-stub":
+            os.environ["PT_CLUSTER_STUB"] = "gate"
         elif name == "sort-off":
             os.environ["PT_CLUSTER_SORT"] = "0"
         elif name == "query-stub":
