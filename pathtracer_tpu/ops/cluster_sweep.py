@@ -366,7 +366,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
     return jnp.where(found, best, 0), t_best, found
 
 
-def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard):
+def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -452,7 +452,11 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard):
         def visit(carry):
             t_acc, b_acc, r_acc = carry
             blk = cols_ref[pl.ds(c, 1), :, :][0]
-            S = tensor_sweep.sweep_dot(phi, blk)
+            # fused6: phi/blk are the pre-expanded bf16 6-block operands —
+            # ONE DEFAULT matmul computes HIGHEST's six bf16 passes
+            # (tensor_sweep.fused6_dot; ulp-level summation-order diff only)
+            S = (tensor_sweep.fused6_dot(phi, blk) if fused6
+                 else tensor_sweep.sweep_dot(phi, blk))
             valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
             B, C0 = S[:, 0:K], S[:, K:2 * K]
 
@@ -578,6 +582,10 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         guard = _os.environ.get("PT_CLUSTER_GUARD", "0") == "1"
     if key2 is None:
         key2 = _os.environ.get("PT_CLUSTER_KEY2", "1") != "0"
+    # fused6 sweep (see tensor_sweep.fused6_dot): HIGHEST's six bf16 passes
+    # as one pre-expanded DEFAULT matmul per visit. Values match HIGHEST to
+    # f32 summation order (ulp); env-gated for on-chip A/B.
+    fused6 = _os.environ.get("PT_SWEEP_FUSED6", "0") == "1"
     if t_max is None:
         t_max = BIG
     # timing knockouts (tools/tpu_knockout.py — images are WRONG under
@@ -724,8 +732,12 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
-                               guard=guard)
+                               guard=guard, fused6=fused6)
     n_pref = 4 if guard else 3
+    feat_in = 6 * FEAT if fused6 else FEAT
+    phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi
+    cols_in = (tensor_sweep.expand6_rhs(ct.cols, axis=1) if fused6
+               else ct.cols)
 
     def blk(shape, index=None):
         if index is None:
@@ -748,11 +760,11 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         out_shape.append(
             jax.ShapeDtypeStruct((1, 16, ray_tile), jnp.float32))
     in_specs = [
-        blk((ray_tile, FEAT)),
+        blk((ray_tile, feat_in)),
         blk((1, 1, ray_tile)),
         blk((1, 1, ray_tile)),
     ]
-    operands = [phi, a3, gate3]
+    operands = [phi_in, a3, gate3]
     if guard:
         # per-visit slab-guard inputs: rays as (chunk, [o;d], lane) blocks
         # and the cluster AABB corners as one flat scalar-prefetch array
@@ -762,12 +774,12 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         in_specs.append(blk((1, 6, ray_tile)))
         operands.append(od3)
     in_specs += [
-        blk((C_tot, FEAT, OUTS * K), (0, 0, 0)),
+        blk((C_tot, feat_in, OUTS * K), (0, 0, 0)),
         blk((C_tot, 1, K), (0, 0, 0)),
         blk((C_tot, 1, K), (0, 0, 0)),
         blk((C_tot, 48, K), (0, 0, 0)),
     ]
-    operands += [ct.cols, ct.is_sphere, ct.valid_row, ct.rows]
+    operands += [cols_in, ct.is_sphere, ct.valid_row, ct.rows]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_pref,
         grid=(n_chunks,),

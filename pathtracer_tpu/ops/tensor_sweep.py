@@ -91,6 +91,51 @@ def sweep_dot(x, y):
         precision=SWEEP_PRECISION, preferred_element_type=jnp.float32)
 
 
+def split3_bf16(x):
+    """Exact 3-way bf16 split: hi + mid + lo == x bit-exactly (f32's 24-bit
+    mantissa = 3 x 8-bit bf16 chunks; bf16 shares f32's exponent range).
+    Same Dekker-style pattern ops/clusters.py uses for the hit-field rows."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+# The "fused6" sweep: one bf16 matmul that computes the SAME six cross
+# terms Precision.HIGHEST (bf16x6) computes — orders 0..2 of the 3-way
+# splits x = x0+x1+x2, y = y0+y1+y2: x0y0, x0y1, x1y0, x1y1, x0y2, x2y0 —
+# but as a single (.., 6*FEAT) @ (6*FEAT, ..) DEFAULT-precision contraction
+# with f32 accumulation. On the MXU that is ~6x fewer issues per sweep than
+# HIGHEST's six passes. Values differ from HIGHEST only in f32 summation
+# order (ulp-level); the dropped terms (x1y2, x2y1, x2y2) are < 2^-48
+# relative, far below f32 ulp. The two expansions MUST pair up: block b of
+# the lhs expansion contracts against block b of the rhs expansion.
+_FUSED6_LHS = (0, 0, 1, 1, 0, 2)
+_FUSED6_RHS = (0, 1, 0, 1, 2, 0)
+
+
+def expand6_lhs(x, axis=-1):
+    """bf16 6-block expansion of the lhs (contraction on ``axis``)."""
+    s = split3_bf16(x)
+    return jnp.concatenate([s[i] for i in _FUSED6_LHS], axis=axis)
+
+
+def expand6_rhs(x, axis=-1):
+    """bf16 6-block expansion of the rhs (contraction on ``axis``)."""
+    s = split3_bf16(x)
+    return jnp.concatenate([s[i] for i in _FUSED6_RHS], axis=axis)
+
+
+def fused6_dot(x6, y6):
+    """The sweep contraction over pre-expanded fused6 operands:
+    (R, 6*FEAT) @ (6*FEAT, cols) -> (R, cols) f32. Mosaic lowers the bf16
+    inputs + f32 accumulator natively inside Pallas kernels."""
+    return jax.lax.dot_general(
+        x6, y6, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 class SweepTables(NamedTuple):
     """Packed per-primitive matmul columns + epilogue metadata."""
     cols: jnp.ndarray       # (T, FEAT, tile*OUTS) f32, tiled over prims
