@@ -366,7 +366,8 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
     return jnp.where(found, best, 0), t_best, found
 
 
-def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6):
+def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
+                  wide):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -441,9 +442,100 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6):
     # already been processed — their chunk entries sort earlier). This
     # keeps miss lanes (t stays BIG) from dragging a mixed chunk through
     # the whole list.
+    def sweep(x, blk):
+        # fused6: phi/blk are the pre-expanded bf16 6-block operands —
+        # ONE DEFAULT matmul computes HIGHEST's six bf16 passes
+        # (tensor_sweep.fused6_dot; ulp-level summation-order diff only)
+        return (tensor_sweep.fused6_dot(x, blk) if fused6
+                else tensor_sweep.sweep_dot(x, blk))
+
+    def cluster_teff(c, S):
+        """Per-cluster effective t (n, K) from the cluster's S block
+        (n, OUTS*K). Branches on the cluster's (scalar-prefetched) type:
+        pure clusters skip the unused epilogue half — every mesh cluster
+        is all-triangle, and the sphere sqrt/two-root chain is the single
+        most expensive part of the epilogue. Each branch reuses the SAME
+        _epilogue halves the mixed path composes, so accepted t values are
+        bit-identical whichever branch runs."""
+        valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
+        B, C0 = S[:, 0:K], S[:, K:2 * K]
+
+        def t_mixed():
+            sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
+            return tensor_sweep._epilogue(
+                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], a,
+                sph != 0, valid != 0, t_min, t_max)
+
+        def t_sph_only():
+            t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a[:, None],
+                                                     t_min, t_max)
+            return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
+
+        def t_tri_only():
+            t_t, hit = tensor_sweep._epilogue_tri(
+                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], t_min,
+                t_max)
+            return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
+
+        return jax.lax.switch(ctype_ref[c],
+                              [t_mixed, t_sph_only, t_tri_only])
+
     def cond(state):
         j, t_acc = state[0], state[1]
         return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, j]
+
+    # Wide visits (``wide`` = W > 1): iteration p sweeps clusters
+    # Wp .. Wp+W-1 of the chunk's order as ONE concatenated matmul + ONE
+    # fused rows-extraction — per-MXU-issue overhead (~1.5 us on this
+    # chip, docs/DESIGN.md) is the dominant per-visit cost, and widening
+    # divides the issues per cluster by W (measured +40% whole-render at
+    # W=2). Bit-identical to the 1-wide march: output columns of a
+    # concatenated matmul accumulate independently; the window argmin's
+    # lowest-index tie rule equals the sequential strict-better rule;
+    # sentinel slots (entry +BIG) are masked to BIG by scalar selects; and
+    # any cluster the 1-wide march would have stopped before cannot beat
+    # any lane (its margined per-lane entry is at or beyond every lane's
+    # min(best, own-gate) — the stop proof in the module docstring applies
+    # per lane).
+    def cond_wide(state):
+        p, t_acc = state[0], state[1]
+        return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, wide * p]
+
+    def body_wide(state):
+        p, t_acc, b_acc, r_acc = state
+        cs = [ids_ref[i, wide * p + w] for w in range(wide)]
+        blk = jnp.concatenate(
+            [cols_ref[pl.ds(c, 1), :, :][0] for c in cs], axis=1)
+        S = sweep(phi, blk)                           # (n, W*OUTS*K)
+        ts = []
+        for w, c in enumerate(cs):
+            t_w = cluster_teff(c, S[:, w * 4 * K:(w + 1) * 4 * K])
+            if w > 0:                                 # sentinel slots
+                live = ents_ref[i, wide * p + w] < BIG * 0.5
+                t_w = jnp.where(live, t_w, BIG)
+            ts.append(t_w)
+        t_win = jnp.concatenate(ts, axis=1)           # (n, W*K)
+        local_j = jnp.argmin(t_win, axis=1).astype(jnp.int32)
+        local_t = jnp.min(t_win, axis=1)
+        better = local_t < t_acc
+        glob = cs[0] * K + local_j
+        for w in range(1, wide):
+            glob = jnp.where(local_j >= w * K,
+                             cs[w] * K + (local_j - w * K), glob)
+        if with_rows:
+            oh_t = (jax.lax.broadcasted_iota(jnp.int32, (wide * K, n), 0)
+                    == local_j[None, :]).astype(jnp.bfloat16)
+            blk48 = jnp.concatenate(
+                [rows_ref[pl.ds(c, 1), :, :][0] for c in cs],
+                axis=1)                               # (48, W*K)
+            new_rows = jax.lax.dot_general(
+                blk48, oh_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (48, n)
+            r_acc = jnp.where(better[None, :], new_rows, r_acc)
+        return (p + 1,
+                jnp.where(better, local_t, t_acc),
+                jnp.where(better, glob, b_acc),
+                r_acc)
 
     def body(state):
         j, t_acc, b_acc, r_acc = state
@@ -452,40 +544,8 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6):
         def visit(carry):
             t_acc, b_acc, r_acc = carry
             blk = cols_ref[pl.ds(c, 1), :, :][0]
-            # fused6: phi/blk are the pre-expanded bf16 6-block operands —
-            # ONE DEFAULT matmul computes HIGHEST's six bf16 passes
-            # (tensor_sweep.fused6_dot; ulp-level summation-order diff only)
-            S = (tensor_sweep.fused6_dot(phi, blk) if fused6
-                 else tensor_sweep.sweep_dot(phi, blk))
-            valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
-            B, C0 = S[:, 0:K], S[:, K:2 * K]
-
-            # Branch on the cluster's (scalar-prefetched) type: pure
-            # clusters skip the unused epilogue half — every mesh cluster
-            # is all-triangle, and the sphere sqrt/two-root chain is the
-            # single most expensive part of the epilogue. Each branch
-            # reuses the SAME _epilogue halves the mixed path composes,
-            # so accepted t values are bit-identical whichever branch
-            # runs.
-            def t_mixed():
-                sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
-                return tensor_sweep._epilogue(
-                    B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], a,
-                    sph != 0, valid != 0, t_min, t_max)
-
-            def t_sph_only():
-                t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a[:, None],
-                                                         t_min, t_max)
-                return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
-
-            def t_tri_only():
-                t_t, hit = tensor_sweep._epilogue_tri(
-                    B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], t_min,
-                    t_max)
-                return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
-
-            t_eff = jax.lax.switch(ctype_ref[c],
-                                   [t_mixed, t_sph_only, t_tri_only])
+            S = sweep(phi, blk)
+            t_eff = cluster_teff(c, S)
             local_j = jnp.argmin(t_eff, axis=1).astype(jnp.int32)
             local_t = jnp.min(t_eff, axis=1)
             better = local_t < t_acc
@@ -528,7 +588,8 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6):
     b0 = jnp.full((n,), -1, jnp.int32)
     r0 = jnp.zeros((48 if with_rows else 16, n), jnp.float32)
     _, t_acc, b_acc, r_acc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, b0, r0))
+        cond_wide if wide > 1 else cond, body_wide if wide > 1 else body,
+        (jnp.int32(0), t0, b0, r0))
     t_ref[0, 0] = t_acc
     best_ref[0, 0] = b_acc
     if with_rows:
@@ -586,6 +647,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # as one pre-expanded DEFAULT matmul per visit. Values match HIGHEST to
     # f32 summation order (ulp); env-gated for on-chip A/B.
     fused6 = _os.environ.get("PT_SWEEP_FUSED6", "0") == "1"
+    # wide visits: W clusters per march iteration, ONE sweep matmul + ONE
+    # rows extraction per window (bit-identical; see _march_kernel).
+    # Measured on chip: W=2 9.19 -> 12.87 Mrays/s (+40%) on the bunny
+    # bench. The guard path keeps the 1-wide body (guard is default-off).
+    wide = int(_os.environ.get("PT_CLUSTER_WIDE", "2"))
+    if guard:
+        wide = 1
     if t_max is None:
         t_max = BIG
     # timing knockouts (tools/tpu_knockout.py — images are WRONG under
@@ -680,12 +748,16 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                             (n_chunks, C_reg))
     ents_sorted, ids_sorted = jax.lax.sort_key_val(chunk_entry, iota,
                                                    dimension=1)
+    # terminal sentinel entries +BIG: the while cond max(t_best) > ents[j]
+    # is false there (t_best <= BIG), guaranteeing termination at j == M.
+    # Wide marches read slots Wp .. Wp+W-1, so they carry W sentinel slots
+    # (the last live window may straddle M-1; the probe at the following
+    # window then reads up to slot M+W-1).
     ids = jnp.concatenate(
-        [ids_sorted, jnp.zeros((n_chunks, 1), jnp.int32)], axis=1)
-    # terminal sentinel entry +BIG: the while cond max(t_best) > ents[j]
-    # is false there (t_best <= BIG), guaranteeing termination at j == M
+        [ids_sorted, jnp.zeros((n_chunks, wide), jnp.int32)], axis=1)
     ents = jnp.concatenate(
-        [ents_sorted, jnp.full((n_chunks, 1), BIG, jnp.float32)], axis=1)
+        [ents_sorted, jnp.full((n_chunks, wide), BIG, jnp.float32)],
+        axis=1)
     M = C_reg
     K = ct.K
 
@@ -732,7 +804,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
-                               guard=guard, fused6=fused6)
+                               guard=guard, fused6=fused6, wide=wide)
     n_pref = 4 if guard else 3
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi

@@ -239,15 +239,20 @@ def _epilogue_sphere(B, C0, a2, t_min, t_max):
 
 def _epilogue_tri(det, tdet, b1det, b2det, t_min, t_max):
     """Triangle half: Möller–Trumbore strict rejections
-    (cuda_object.h:70-90). Returns (t_tri, hit_tri), each (R, tile)."""
+    (cuda_object.h:70-90). Returns (t_tri, hit_tri), each (R, tile).
+
+    The reference's six barycentric rejects reduce to three: b1 > 0,
+    b2 > 0 and b1 + b2 < 1 together imply b1 < 1, b2 < 1 and b1 + b2 > 0,
+    so the dropped comparisons can never flip the verdict on finite
+    operands (non-finite pair scalars only arise on padding rows, which
+    every caller masks via valid_row). This runs per cluster visit in the
+    march kernel — 6 fewer VPU ops matter."""
     inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
     t_tri = tdet * inv_det
     b1 = b1det * inv_det
     b2 = b2det * inv_det
     miss = ((det == 0.0)
-            | (b1 >= 1.0) | (b1 <= 0.0)
-            | (b2 >= 1.0) | (b2 <= 0.0)
-            | (b1 + b2 <= 0.0) | (b1 + b2 >= 1.0)
+            | (b1 <= 0.0) | (b2 <= 0.0) | (b1 + b2 >= 1.0)
             | (t_tri <= t_min) | (t_tri >= t_max))
     return t_tri, ~miss
 

@@ -208,7 +208,8 @@ def main():
         gate3 = gate.reshape(n_chunks, 1, ray_tile)
         kernel = functools.partial(cs._march_kernel, K=K, M=C_reg,
                                    t_min=1e-3, t_max=cs.BIG,
-                                   with_rows=True, guard=False)
+                                   with_rows=True, guard=False,
+                                   fused6=False, wide=1)
         C_tot = ct.cols.shape[0]
 
         def blk(shape, index=None):
