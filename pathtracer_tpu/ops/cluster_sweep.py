@@ -367,7 +367,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
-                  wide):
+                  wide, pipe):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -498,15 +498,29 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
     # min(best, own-gate) — the stop proof in the module docstring applies
     # per lane).
     def cond_wide(state):
-        p, t_acc = state[0], state[1]
+        p = state[0]
+        t_acc = state[2] if pipe else state[1]
         return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, wide * p]
 
-    def body_wide(state):
-        p, t_acc, b_acc, r_acc = state
+    def window_S(p):
+        """The window's concatenated sweep result (n, W*OUTS*K)."""
         cs = [ids_ref[i, wide * p + w] for w in range(wide)]
         blk = jnp.concatenate(
             [cols_ref[pl.ds(c, 1), :, :][0] for c in cs], axis=1)
-        S = sweep(phi, blk)                           # (n, W*OUTS*K)
+        return sweep(phi, blk)
+
+    def body_wide(state):
+        if pipe:
+            # software pipeline: this window's S rides the carry (issued
+            # LAST iteration, overlapping the MXU matmul with that
+            # iteration's VPU epilogue); issue the NEXT window's S at the
+            # tail. The speculative fetch past the stop point reads
+            # sentinel slots (2W of them) and its result is simply unused.
+            p, S, t_acc, b_acc, r_acc = state
+        else:
+            p, t_acc, b_acc, r_acc = state
+            S = window_S(p)                           # (n, W*OUTS*K)
+        cs = [ids_ref[i, wide * p + w] for w in range(wide)]
         ts = []
         for w, c in enumerate(cs):
             t_w = cluster_teff(c, S[:, w * 4 * K:(w + 1) * 4 * K])
@@ -532,10 +546,12 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                 blk48, oh_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)   # (48, n)
             r_acc = jnp.where(better[None, :], new_rows, r_acc)
-        return (p + 1,
-                jnp.where(better, local_t, t_acc),
-                jnp.where(better, glob, b_acc),
-                r_acc)
+        out = (jnp.where(better, local_t, t_acc),
+               jnp.where(better, glob, b_acc),
+               r_acc)
+        if pipe:
+            return (p + 1, window_S(p + 1)) + out
+        return (p + 1,) + out
 
     def body(state):
         j, t_acc, b_acc, r_acc = state
@@ -587,9 +603,21 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
     t0 = jnp.full((n,), BIG, jnp.float32)
     b0 = jnp.full((n,), -1, jnp.int32)
     r0 = jnp.zeros((48 if with_rows else 16, n), jnp.float32)
-    _, t_acc, b_acc, r_acc = jax.lax.while_loop(
-        cond_wide if wide > 1 else cond, body_wide if wide > 1 else body,
-        (jnp.int32(0), t0, b0, r0))
+    if pipe:
+        # prime the pipeline: window 0's S, only when the chunk marches at
+        # all (zero-visit chunks — all-sky / all-dead — must not pay a
+        # speculative matmul; this cond runs once per chunk, not per visit)
+        marches0 = jnp.max(jnp.minimum(t0, gate)) > ents_ref[i, 0]
+        S0 = jax.lax.cond(
+            marches0, lambda: window_S(jnp.int32(0)),
+            lambda: jnp.zeros((n, wide * OUTS * K), jnp.float32))
+        _, _, t_acc, b_acc, r_acc = jax.lax.while_loop(
+            cond_wide, body_wide, (jnp.int32(0), S0, t0, b0, r0))
+    else:
+        _, t_acc, b_acc, r_acc = jax.lax.while_loop(
+            cond_wide if wide > 1 else cond,
+            body_wide if wide > 1 else body,
+            (jnp.int32(0), t0, b0, r0))
     t_ref[0, 0] = t_acc
     best_ref[0, 0] = b_acc
     if with_rows:
@@ -654,6 +682,9 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     wide = int(_os.environ.get("PT_CLUSTER_WIDE", "2"))
     if guard:
         wide = 1
+    # software-pipelined march (wide > 1 only): the carry holds the next
+    # window's sweep result so the MXU matmul overlaps the VPU epilogue
+    pipe = (_os.environ.get("PT_CLUSTER_PIPE", "0") == "1") and wide > 1
     if t_max is None:
         t_max = BIG
     # timing knockouts (tools/tpu_knockout.py — images are WRONG under
@@ -752,11 +783,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # is false there (t_best <= BIG), guaranteeing termination at j == M.
     # Wide marches read slots Wp .. Wp+W-1, so they carry W sentinel slots
     # (the last live window may straddle M-1; the probe at the following
-    # window then reads up to slot M+W-1).
+    # window then reads up to slot M+W-1). The pipelined march
+    # speculatively fetches one window further: 2W sentinels.
+    n_sent = 2 * wide if pipe else wide
     ids = jnp.concatenate(
-        [ids_sorted, jnp.zeros((n_chunks, wide), jnp.int32)], axis=1)
+        [ids_sorted, jnp.zeros((n_chunks, n_sent), jnp.int32)], axis=1)
     ents = jnp.concatenate(
-        [ents_sorted, jnp.full((n_chunks, wide), BIG, jnp.float32)],
+        [ents_sorted, jnp.full((n_chunks, n_sent), BIG, jnp.float32)],
         axis=1)
     M = C_reg
     K = ct.K
@@ -804,7 +837,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
-                               guard=guard, fused6=fused6, wide=wide)
+                               guard=guard, fused6=fused6, wide=wide,
+                               pipe=pipe)
     n_pref = 4 if guard else 3
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi

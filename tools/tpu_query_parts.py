@@ -209,7 +209,7 @@ def main():
         kernel = functools.partial(cs._march_kernel, K=K, M=C_reg,
                                    t_min=1e-3, t_max=cs.BIG,
                                    with_rows=True, guard=False,
-                                   fused6=False, wide=1)
+                                   fused6=False, wide=1, pipe=False)
         C_tot = ct.cols.shape[0]
 
         def blk(shape, index=None):
