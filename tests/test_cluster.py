@@ -287,3 +287,31 @@ def test_query_shadow_occlusion_matches_closest_hit():
     _, t3, v3 = closest.query_shadow(o[:m], d[:m], act_m)
     occ3 = np.asarray(v3 & (t3 < 1.0 - eps))
     np.testing.assert_array_equal(occ3, occ0[:m] & np.asarray(act_m))
+
+
+def test_march_wide_variants_bit_identical(monkeypatch):
+    """Every march body variant — 1-wide, W-wide windows, the software
+    pipeline — returns bit-identical (idx, t, valid): the W-wide window
+    argmin reproduces sequential strict-better order, sentinel slots are
+    masked, and the pipeline consumes the same sweep results in the same
+    order (docs/DESIGN.md)."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=3)
+    ct = build_cluster_tables(scene)
+    ref = None
+    for env in ({"PT_CLUSTER_WIDE": "1"},
+                {"PT_CLUSTER_WIDE": "2"},
+                {"PT_CLUSTER_WIDE": "3"},
+                {"PT_CLUSTER_WIDE": "4"},
+                {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_PIPE": "1"}):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        idx, t, valid = cluster_march(ct, o, d, T_MIN)
+        if ref is None:
+            ref = (np.asarray(idx), np.asarray(t), np.asarray(valid))
+        else:
+            np.testing.assert_array_equal(np.asarray(valid), ref[2], env)
+            np.testing.assert_array_equal(np.asarray(t), ref[1], env)
+            np.testing.assert_array_equal(np.asarray(idx), ref[0], env)
+        for k in env:
+            monkeypatch.delenv(k)
