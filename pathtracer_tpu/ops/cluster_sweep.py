@@ -883,9 +883,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         blk((C_tot, feat_in, OUTS * K), (0, 0, 0)),
         blk((C_tot, 1, K), (0, 0, 0)),
         blk((C_tot, 1, K), (0, 0, 0)),
-        blk((C_tot, 48, K), (0, 0, 0)),
+        # rows table only when the kernel extracts winner rows — a 1-row
+        # dummy otherwise (12 KB/cluster of VMEM back for query-only
+        # marches; the kernel never reads rows_ref unless with_rows)
+        blk((C_tot if with_rows else 1, 48, K), (0, 0, 0)),
     ]
-    operands += [cols_in, ct.is_sphere, ct.valid_row, ct.rows]
+    operands += [cols_in, ct.is_sphere, ct.valid_row,
+                 ct.rows if with_rows else ct.rows[:1]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_pref,
         grid=(n_chunks,),

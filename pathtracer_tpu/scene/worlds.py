@@ -138,5 +138,10 @@ def get_world(name: str, **kw) -> Tuple[Scene, Camera]:
     if name == "bunny":
         from pathtracer_tpu.scene.bunny import bunny_world
         return bunny_world(**kw)
+    if name == "combined":
+        # BASELINE config 5's scene (bunny + cornell room + RTIOW spheres)
+        from pathtracer_tpu.presets import combined_scene
+        return combined_scene(**kw)
     raise ValueError(f"unknown scene {name!r}; "
-                     f"available: test/triangle/random/cornell/bunny")
+                     f"available: test/triangle/random/cornell/bunny/"
+                     f"combined")

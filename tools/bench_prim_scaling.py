@@ -1,0 +1,132 @@
+"""Prim-count scaling: cluster march vs dense tensor sweep, query-level.
+
+The reference's LBVH exists to make per-ray cost ~O(log N)
+(/root/reference/utils/render_manager.h:86-135); the cluster march fills
+that role with TPU-native means (ray binning by sort + bounded cluster
+windows). This times raw closest-hit queries on synthetic N-sphere scenes
+(jittered grid cloud) and prints ms/query for both paths plus the ratio —
+the dense sweep is O(R*N); the march should grow far slower.
+
+Capacity note: the march keeps its cluster tables VMEM-resident
+(cols 24 KB + metadata ~1 KB per 128-prim cluster; +12 KB rows only for
+with_rows marches), bounding a single kernel at roughly ~500 clusters
+(~65k prims) for query-only marches on a 16 MB-VMEM chip. Streaming the
+table over a second grid axis lifts this; reference-scale scenes are well
+inside it.
+
+Run on the real chip: python tools/bench_prim_scaling.py
+"""
+import argparse
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", default="5000,20000,45000")
+    p.add_argument("--rays", type=int, default=57600)
+    p.add_argument("--iters", type=int, default=4)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer_tpu.ops import intersect, tensor_sweep
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    from pathtracer_tpu.ops.clusters import build_cluster_tables
+    from pathtracer_tpu.scene.scene import PRIM_SPHERE, Scene
+
+    print("backend:", jax.default_backend(), flush=True)
+    r = args.rays
+    n_it = args.iters
+
+    def sphere_cloud(n: int) -> Scene:
+        """n spheres on a jittered grid in [-10, 10]^3 (numpy, host)."""
+        rng = np.random.default_rng(7)
+        m = int(np.ceil(n ** (1.0 / 3.0)))
+        g = (np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                      axis=-1).reshape(-1, 3)[:n]).astype(np.float32)
+        spacing = 20.0 / m
+        centers = (g + 0.5 + 0.35 * rng.standard_normal((n, 3))) \
+            * spacing - 10.0
+        radius = (0.25 * spacing) * np.ones(n, np.float32)
+        zeros3 = np.zeros((n, 3), np.float32)
+        bmin = centers - radius[:, None]
+        bmax = centers + radius[:, None]
+        return Scene(
+            prim_type=jnp.full((n,), PRIM_SPHERE, jnp.int32),
+            v0=jnp.asarray(centers), e1=jnp.asarray(zeros3),
+            e2=jnp.asarray(zeros3), radius=jnp.asarray(radius),
+            tri_normal=jnp.asarray(zeros3),
+            prim_mat=jnp.zeros((n,), jnp.int32),
+            box_min=jnp.asarray(bmin),
+            box_max=jnp.asarray(bmax),
+            mat_type=jnp.zeros((1,), jnp.int32),
+            albedo=jnp.full((1, 3), 0.5, jnp.float32),
+            fuzz=jnp.zeros((1,), jnp.float32),
+            ir=jnp.zeros((1,), jnp.float32),
+            emit=jnp.zeros((1, 3), jnp.float32),
+            tex_id=jnp.full((1,), -1, jnp.int32),
+            world_min=jnp.asarray(bmin.min(axis=0)),
+            world_max=jnp.asarray(bmax.max(axis=0)),
+            light_idx=jnp.zeros((0,), jnp.int32),
+            textures=jnp.zeros((0, 8, 8, 3), jnp.float32),
+        )
+
+    # camera-like wavefront: origins on a plane at z = -30, directions at
+    # jittered grid targets (coherent like primary rays, so the binning
+    # sort has real structure to exploit — same as a render's wavefront)
+    k = jax.random.PRNGKey(1)
+    tgt = jax.random.uniform(k, (r, 3), jnp.float32) * 20.0 - 10.0
+    org = jnp.stack([tgt[:, 0] * 0.2, tgt[:, 1] * 0.2,
+                     jnp.full((r,), -30.0)], axis=1)
+    dirs = tgt - org
+
+    # dispatch latency anchor (subtracted from every loop timing)
+    trivial = jax.jit(lambda x: x * 2.0)
+    jax.block_until_ready(trivial(jnp.ones(128)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(trivial(jnp.ones(128)))
+    dispatch = time.perf_counter() - t0
+
+    def timed(f):
+        run = jax.jit(f)
+        jax.block_until_ready(run(org, dirs))
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(org, dirs))
+        return max(0.0, time.perf_counter() - t0 - dispatch) / n_it
+
+    for n in (int(s) for s in args.sizes.split(",")):
+        scene = sphere_cloud(n)
+        ct = build_cluster_tables(scene)
+        tables = tensor_sweep.pack_sweep_tables(scene)
+
+        def march(o, d):
+            def step(i, acc):
+                oo = o + acc * 1e-30
+                _, t, v = cluster_march(ct, oo, d, 1e-3)
+                return acc + jnp.sum(jnp.minimum(t, 1.0)) * 1e-30 + 1.0
+            return jax.lax.fori_loop(0, n_it, step, jnp.float32(0.0))
+
+        def dense(o, d):
+            def step(i, acc):
+                oo = o + acc * 1e-30
+                _, t, v = tensor_sweep.tensor_closest(
+                    tables, oo, d, jnp.float32(1e-3), intersect.BIG_T)
+                return acc + jnp.sum(jnp.minimum(t, 1.0)) * 1e-30 + 1.0
+            return jax.lax.fori_loop(0, n_it, step, jnp.float32(0.0))
+
+        # correctness spot-check at each size (hit agreement)
+        i1, t1, v1 = cluster_march(ct, org, dirs, 1e-3)
+        i2, t2, v2 = tensor_sweep.tensor_closest(
+            tables, org, dirs, jnp.float32(1e-3), intersect.BIG_T)
+        agree = float(jnp.mean((v1 == v2).astype(jnp.float32)))
+        m_ms = timed(march) * 1e3
+        d_ms = timed(dense) * 1e3
+        print(f"N={n:6d} C_reg={ct.C_reg:4d}: march {m_ms:7.2f} ms/query  "
+              f"dense {d_ms:7.2f} ms/query  ratio {d_ms / max(m_ms, 1e-9):5.1f}x  "
+              f"valid-agree {agree:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
