@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation (sample area lights at "
                         "diffuse bounces; for emissive-lit scenes)")
+    p.add_argument("--sampler", default="random",
+                   choices=["random", "sobol"],
+                   help="pixel-filter sampler: uniform jitter (reference "
+                        "behavior) or per-pixel Owen-scrambled Sobol "
+                        "(lower variance at equal spp)")
     p.add_argument("--rr", action="store_true",
                    help="Russian-roulette termination after --rr-depth "
                         "bounces (reference constants 0.8/1.25)")
@@ -110,6 +115,8 @@ def main(argv=None) -> int:
                 cfg = cfg.replace(ray_chunk=args.ray_chunk)
             if args.rr:
                 cfg = cfg.replace(rr=True, rr_depth=args.rr_depth)
+            if args.sampler != "random":
+                cfg = cfg.replace(sampler=args.sampler)
         else:
             scene, cam = get_world(args.scene)
             sky = not args.no_sky
@@ -122,7 +129,7 @@ def main(argv=None) -> int:
                                nee=args.nee or args.scene == "cornell",
                                terminate_black=args.terminate_black,
                                rr=args.rr, rr_depth=args.rr_depth,
-                               scene=args.scene)
+                               sampler=args.sampler, scene=args.scene)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

@@ -47,6 +47,12 @@ class RenderConfig:
     # spp; off by default for reference parity / golden stability.
     stratify: bool = False
 
+    # Pixel-filter sampler: "random" (the reference's uniform jitter,
+    # main.cu:284-285; composes with ``stratify``) or "sobol"
+    # (per-pixel Owen-scrambled (0,2)-sequence, core/sampling.sobol_owen_2d
+    # — lower variance at equal spp; overrides ``stratify``).
+    sampler: str = "random"
+
     # Russian-roulette path termination after ``rr_depth`` bounces, using
     # the reference's shipped-but-unused constants (continue prob 0.8,
     # survivor scale 1.25 — global_variables.h:38-41). Unbiased; cuts deep-

@@ -127,6 +127,7 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
     # sample offsets stay consistent.
     m_strat = _stratum_grid(cfg.spp) if cfg.stratify else 1
     inv_m = 1.0 / m_strat
+    use_sobol = getattr(cfg, "sampler", "random") == "sobol"
 
     def sample_pass(s, acc):
         s_global = sample_offset + s
@@ -140,10 +141,19 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
             pix0 = (row[0] * cfg.width + col[0]).astype(jnp.int32)
             ckey = jax.random.fold_in(skey, pix0)
             pkey, tkey, lkey1, lkey2 = jax.random.split(ckey, 4)
-            # pixel jitter (main.cu:284-285), optionally stratified
-            xi = jax.random.uniform(pkey, (2, chunk), jnp.float32)
-            if m_strat > 1:
-                xi = jnp.stack([(sx + xi[0]) * inv_m, (sy + xi[1]) * inv_m])
+            # pixel jitter (main.cu:284-285), optionally stratified or
+            # Owen-scrambled Sobol (core/sampling.sobol_owen_2d)
+            if use_sobol:
+                from pathtracer_tpu.core.sampling import sobol_owen_2d
+                pix_id = (row * cfg.width + col).astype(jnp.int32)
+                x0, x1 = sobol_owen_2d(s_global.astype(jnp.uint32),
+                                       pix_id, cfg.seed)
+                xi = jnp.stack([x0, x1])
+            else:
+                xi = jax.random.uniform(pkey, (2, chunk), jnp.float32)
+                if m_strat > 1:
+                    xi = jnp.stack([(sx + xi[0]) * inv_m,
+                                    (sy + xi[1]) * inv_m])
             u = (col + xi[0]) * w_inv
             v = (row + xi[1]) * h_inv
             u_disk = jax.random.uniform(lkey1, (2, chunk), jnp.float32)
