@@ -315,3 +315,30 @@ def test_march_wide_variants_bit_identical(monkeypatch):
             np.testing.assert_array_equal(np.asarray(idx), ref[0], env)
         for k in env:
             monkeypatch.delenv(k)
+
+
+def test_huge_prim_clamp_beyond_k_res():
+    """More huge primitives than the residual tile's K_RES capacity: the
+    K_RES largest go residual, the rest demote to regular clusters
+    (ops/clusters.py) — results must still match the dense sweep."""
+    import numpy as np
+    from pathtracer_tpu.ops.clusters import K_RES
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    from pathtracer_tpu.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5, 0.5, 0.5))
+    rng = np.random.default_rng(5)
+    # small prims establish the median extent
+    for c in rng.uniform(-5, 5, (200, 3)):
+        b.add_sphere(c, 0.1, m)
+    # K_RES + 4 huge spheres (extent >> 16x median): clamp must demote 4
+    for i in range(K_RES + 4):
+        b.add_sphere((i * 40.0 - 200.0, -60.0, 0.0), 50.0 + i, m)
+    scene = b.build()
+    ct = build_cluster_tables(scene)
+
+    k = jax.random.PRNGKey(2)
+    o = jax.random.uniform(k, (384, 3)) * 30.0 - 15.0
+    d = jax.random.normal(jax.random.fold_in(k, 1), (384, 3)) * 40.0
+    _check_vs_brute(scene, ct, o, d, query=cluster_march)
