@@ -161,3 +161,35 @@ def load_fit_state(path: str) -> Optional[Tuple[dict, int, list]]:
         params = {k[len("param_"):]: np.asarray(z[k])
                   for k in z.files if k.startswith("param_")}
         return params, int(z["step"]), list(z["loss_history"])
+
+
+# --- optional Orbax backend for the fit loop -------------------------------
+# The npz container above is the default (zero deps, atomic, fingerprinted).
+# Production JAX deployments standardize on Orbax for sharded/async
+# checkpointing of train state; this mirrors save/load_fit_state onto an
+# orbax.checkpoint.PyTreeCheckpointer so the fit loop can slot into such a
+# pipeline. Orbax is an optional import — absence degrades to ImportError
+# only when these functions are actually called.
+
+def save_fit_state_orbax(path: str, params: dict, step: int,
+                         loss_history) -> None:
+    """Orbax-backed save of the inverse-rendering fit state."""
+    import orbax.checkpoint as ocp
+    payload = {
+        "params": {k: np.asarray(v) for k, v in params.items()},
+        "step": np.int64(step),
+        "loss_history": np.asarray(loss_history, np.float64),
+    }
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.abspath(path), payload, force=True)
+
+
+def load_fit_state_orbax(path: str) -> Optional[Tuple[dict, int, list]]:
+    """Orbax-backed load; returns (params, step, loss_history) or None."""
+    import orbax.checkpoint as ocp
+    if not os.path.exists(path):
+        return None
+    ckpt = ocp.PyTreeCheckpointer()
+    payload = ckpt.restore(os.path.abspath(path))
+    return (dict(payload["params"]), int(payload["step"]),
+            list(payload["loss_history"]))

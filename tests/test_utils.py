@@ -122,3 +122,19 @@ def test_sobol_sampler_reduces_pixel_variance():
     mse_r = float(np.mean((img_r - ref) ** 2))
     mse_s = float(np.mean((img_s - ref) ** 2))
     assert mse_s < mse_r, (mse_s, mse_r)
+
+
+def test_orbax_fit_checkpoint_roundtrip(tmp_path):
+    """The Orbax fit-state backend round-trips params/step/history exactly
+    (mirrors the npz backend's contract)."""
+    pytest.importorskip("orbax.checkpoint")
+    params = {"albedo": np.linspace(0, 1, 12, dtype=np.float32),
+              "emit": np.ones((2, 3), np.float32)}
+    p = str(tmp_path / "fit_orbax")
+    checkpoint.save_fit_state_orbax(p, params, 7, [1.0, 0.5])
+    out = checkpoint.load_fit_state_orbax(p)
+    assert out is not None
+    params2, step, hist = out
+    assert step == 7 and hist == [1.0, 0.5]
+    np.testing.assert_array_equal(params2["albedo"], params["albedo"])
+    np.testing.assert_array_equal(params2["emit"], params["emit"])
