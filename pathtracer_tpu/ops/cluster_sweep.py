@@ -367,7 +367,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
-                  wide, pipe):
+                  wide, pipe, grouped):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -503,10 +503,25 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, wide * p]
 
     def window_S(p):
-        """The window's concatenated sweep result (n, W*OUTS*K)."""
+        """The window's concatenated sweep result (n, W*OUTS*K).
+
+        Layouts: per-slot (default) concatenates whole cluster blocks, so
+        S is [B C D E | B C D E | ...] per slot; *grouped* re-orders the
+        rhs columns by output type at load time — tiny (FEAT, K) slice
+        concats — so S arrives as [B_all | C_all | D_all | E_all] and the
+        epilogue can run ONCE over the full (n, W*K) window (one
+        instantiation per ctype branch instead of one lax.switch per
+        slot), making kernel code size independent of W. Column values
+        are untouched (a matmul's output columns are independent), only
+        their order changes."""
         cs = [ids_ref[i, wide * p + w] for w in range(wide)]
-        blk = jnp.concatenate(
-            [cols_ref[pl.ds(c, 1), :, :][0] for c in cs], axis=1)
+        blks = [cols_ref[pl.ds(c, 1), :, :][0] for c in cs]
+        if grouped:
+            blk = jnp.concatenate(
+                [b[:, k * K:(k + 1) * K] for k in range(OUTS)
+                 for b in blks], axis=1)
+        else:
+            blk = jnp.concatenate(blks, axis=1)
         return sweep(phi, blk)
 
     def body_wide(state):
@@ -521,14 +536,66 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             p, t_acc, b_acc, r_acc = state
             S = window_S(p)                           # (n, W*OUTS*K)
         cs = [ids_ref[i, wide * p + w] for w in range(wide)]
-        ts = []
-        for w, c in enumerate(cs):
-            t_w = cluster_teff(c, S[:, w * 4 * K:(w + 1) * 4 * K])
-            if w > 0:                                 # sentinel slots
-                live = ents_ref[i, wide * p + w] < BIG * 0.5
-                t_w = jnp.where(live, t_w, BIG)
-            ts.append(t_w)
-        t_win = jnp.concatenate(ts, axis=1)           # (n, W*K)
+        if grouped:
+            # one wide epilogue over the whole window (S is type-grouped,
+            # see window_S). The window's ctype is decided from the live
+            # slots' scalar-prefetched ctypes: all-tri / all-sph windows
+            # take the pure branch — bit-identical accepted t either way
+            # (the branches compose the same _epilogue halves) — so the
+            # switch runs once per window, not once per slot. Sentinel
+            # slots fold into the valid mask (their columns go BIG,
+            # exactly like the per-slot where the v1 body applied).
+            WK = wide * K
+            live = [ents_ref[i, wide * p + w] < BIG * 0.5
+                    for w in range(wide)]
+            valid_all = jnp.concatenate(
+                [jnp.where(live[w],
+                           valid_ref[pl.ds(cs[w], 1), :, :][0, 0], 0)
+                 for w in range(wide)])               # (W*K,)
+            B, C0 = S[:, 0:WK], S[:, WK:2 * WK]
+            D, E = S[:, 2 * WK:3 * WK], S[:, 3 * WK:4 * WK]
+            nlive = live[0].astype(jnp.int32)
+            tri_ct = (live[0] & (ctype_ref[cs[0]] == 2)).astype(jnp.int32)
+            sph_ct = (live[0] & (ctype_ref[cs[0]] == 1)).astype(jnp.int32)
+            for w in range(1, wide):
+                nlive += live[w].astype(jnp.int32)
+                tri_ct += (live[w]
+                           & (ctype_ref[cs[w]] == 2)).astype(jnp.int32)
+                sph_ct += (live[w]
+                           & (ctype_ref[cs[w]] == 1)).astype(jnp.int32)
+
+            def t_mixed():
+                sph_all = jnp.concatenate(
+                    [sph_ref[pl.ds(cs[w], 1), :, :][0, 0]
+                     for w in range(wide)])
+                return tensor_sweep._epilogue(
+                    B, C0, D, E, a, sph_all != 0, valid_all != 0, t_min,
+                    t_max)
+
+            def t_sph_only():
+                t_s, hit = tensor_sweep._epilogue_sphere(
+                    B, C0, a[:, None], t_min, t_max)
+                return jnp.where(hit & (valid_all != 0)[None, :], t_s,
+                                 BIG)
+
+            def t_tri_only():
+                t_t, hit = tensor_sweep._epilogue_tri(
+                    B, C0, D, E, t_min, t_max)
+                return jnp.where(hit & (valid_all != 0)[None, :], t_t,
+                                 BIG)
+
+            wt = jnp.where(tri_ct == nlive, 2,
+                           jnp.where(sph_ct == nlive, 1, 0))
+            t_win = jax.lax.switch(wt, [t_mixed, t_sph_only, t_tri_only])
+        else:
+            ts = []
+            for w, c in enumerate(cs):
+                t_w = cluster_teff(c, S[:, w * 4 * K:(w + 1) * 4 * K])
+                if w > 0:                             # sentinel slots
+                    live = ents_ref[i, wide * p + w] < BIG * 0.5
+                    t_w = jnp.where(live, t_w, BIG)
+                ts.append(t_w)
+            t_win = jnp.concatenate(ts, axis=1)       # (n, W*K)
         local_j = jnp.argmin(t_win, axis=1).astype(jnp.int32)
         local_t = jnp.min(t_win, axis=1)
         better = local_t < t_acc
@@ -685,6 +752,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # software-pipelined march (wide > 1 only): the carry holds the next
     # window's sweep result so the MXU matmul overlaps the VPU epilogue
     pipe = (_os.environ.get("PT_CLUSTER_PIPE", "0") == "1") and wide > 1
+    # type-grouped window layout (wide > 1 only): rhs columns re-grouped
+    # by output type at load time so ONE epilogue instantiation covers the
+    # whole window — kernel code size (and Mosaic compile time) becomes
+    # independent of W, unlocking W >= 4 (the per-slot body's 3W epilogue
+    # instantiations hit a >10-min compile wall at W=4; docs/DESIGN.md)
+    grouped = (_os.environ.get("PT_CLUSTER_GROUPED", "0") == "1"
+               and wide > 1)
     if t_max is None:
         t_max = BIG
     # timing knockouts (tools/tpu_knockout.py — images are WRONG under
@@ -838,7 +912,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
                                guard=guard, fused6=fused6, wide=wide,
-                               pipe=pipe)
+                               pipe=pipe, grouped=grouped)
     n_pref = 4 if guard else 3
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi

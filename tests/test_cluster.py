@@ -303,10 +303,22 @@ def test_march_wide_variants_bit_identical(monkeypatch):
                 {"PT_CLUSTER_WIDE": "2"},
                 {"PT_CLUSTER_WIDE": "3"},
                 {"PT_CLUSTER_WIDE": "4"},
-                {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_PIPE": "1"}):
+                {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_PIPE": "1"},
+                {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_GROUPED": "1"},
+                {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "1"},
+                {"PT_CLUSTER_WIDE": "8", "PT_CLUSTER_GROUPED": "1"},
+                {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "1",
+                 "PT_CLUSTER_PIPE": "1"},
+                # chunking-invariance: a 256-ray tile regroups chunks but
+                # the march still finds each ray's exact min (same winning
+                # visit, same arithmetic)
+                {"PT_CLUSTER_WIDE": "2", "_RAY_TILE": "256"}):
+        kw = {}
+        if "_RAY_TILE" in env:
+            kw["ray_tile"] = int(env.pop("_RAY_TILE"))
         for k, v in env.items():
             monkeypatch.setenv(k, v)
-        idx, t, valid = cluster_march(ct, o, d, T_MIN)
+        idx, t, valid = cluster_march(ct, o, d, T_MIN, **kw)
         if ref is None:
             ref = (np.asarray(idx), np.asarray(t), np.asarray(valid))
         else:

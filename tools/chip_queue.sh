@@ -8,19 +8,32 @@ cd /root/repo
 echo "=== chip queue start $(date)" >> $LOG
 
 run() {
-  name=$1; shift
+  name=$1; to=$2; shift 2
   echo "--- $name $(date +%H:%M:%S)" >> $LOG
-  timeout 900 "$@" 2>&1 | grep -v Warning | tail -2 >> $LOG
+  timeout "$to" "$@" 2>&1 | grep -v -i warning | tail -2 >> $LOG
 }
 
-# 1. sanity: default bench (expect ~12.9)
-run default python bench.py
-# 2. pipelined march
-run pipe env PT_CLUSTER_PIPE=1 python bench.py
-# 3. W=4 retry (bigger timeout than the outage-window attempt)
-run wide4 env PT_CLUSTER_WIDE=4 python bench.py
-# 4. ray_tile 256 (fewer grid steps per launch)
-run tile256 env PT_CLUSTER_RAY_TILE=256 python bench.py
-# 5. prim-count scaling (sub-linearity datapoint)
-run scaling python tools/bench_prim_scaling.py
+# 1. sanity: default bench (expect ~12.9; anchor — discard batch if off)
+run default 1200 python bench.py
+# 2. pipelined march (W=2 + software pipeline)
+run pipe 1500 env PT_CLUSTER_PIPE=1 python bench.py
+# 3. ray_tile 256: halves grid steps / per-op issue count per ray
+run tile256 1500 env PT_CLUSTER_RAY_TILE=256 python bench.py
+# 4. combo of the two
+run tile256_pipe 1800 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_PIPE=1 python bench.py
+# 5. grouped window layout (one epilogue instantiation regardless of W):
+#    first validate W=2 grouped == W=2 per-slot speed-wise, then push W up
+run wide2_grp 1500 env PT_CLUSTER_WIDE=2 PT_CLUSTER_GROUPED=1 python bench.py
+run wide4_grp 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
+run wide8_grp 2400 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py
+# 6. W=3 per-slot (W=4 hit the compile wall; W=3 may fit)
+run wide3 2400 env PT_CLUSTER_WIDE=3 python bench.py
+# 7. K=256 clusters: more FLOPs per issue, fewer visits per ray
+run k256 1500 env PT_CLUSTER_K=256 python bench.py
+# 8. bigger wavefront chunks: fewer march launches (table DMA + launch
+#    overhead amortize; sorted compaction already retires dead lanes)
+run chunk230k 1500 python bench.py --ray-chunk 230400
+run chunk461k 1500 python bench.py --ray-chunk 460800
+# 9. prim-count scaling (sub-linearity datapoint)
+run scaling 1800 python tools/bench_prim_scaling.py
 echo "=== chip queue done $(date)" >> $LOG
