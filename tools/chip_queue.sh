@@ -34,6 +34,9 @@ run k256 1500 env PT_CLUSTER_K=256 python bench.py
 #    overhead amortize; sorted compaction already retires dead lanes)
 run chunk230k 1500 python bench.py --ray-chunk 230400
 run chunk461k 1500 python bench.py --ray-chunk 460800
-# 9. prim-count scaling (sub-linearity datapoint)
+# 9. likely-winner combos (read results above before trusting defaults)
+run combo_t256_w4g 2400 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
+run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 230400
+# 10. prim-count scaling (sub-linearity datapoint)
 run scaling 1800 python tools/bench_prim_scaling.py
 echo "=== chip queue done $(date)" >> $LOG
