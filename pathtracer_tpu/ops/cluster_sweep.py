@@ -242,6 +242,9 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
     resolve instantly as misses — callers use this to retire terminated
     wavefront lanes (render/integrator.py).
     """
+    if ct.K % 128 != 0:
+        raise ValueError("rounds strategy needs K % 128 == 0 (lane slices "
+                         "at K granularity); small K is march+split only")
     r = o.shape[0]
     C_reg = ct.C_reg
     W = min(window, C_reg)
@@ -367,7 +370,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
-                  wide, pipe, grouped):
+                  wide, pipe, grouped, split=False, C_tot=0):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -515,13 +518,21 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         are untouched (a matmul's output columns are independent), only
         their order changes."""
         cs = [ids_ref[i, wide * p + w] for w in range(wide)]
-        blks = [cols_ref[pl.ds(c, 1), :, :][0] for c in cs]
-        if grouped:
+        if split:
+            # type-major table (OUTS*C_tot, FEAT, K): part k of cluster c
+            # is a whole (FEAT, K) sublane-indexed block — no sub-128 lane
+            # slicing even for K < 128 (small-K clusters)
+            blk = jnp.concatenate(
+                [cols_ref[pl.ds(k * C_tot + c, 1), :, :][0]
+                 for k in range(OUTS) for c in cs], axis=1)
+        elif grouped:
+            blks = [cols_ref[pl.ds(c, 1), :, :][0] for c in cs]
             blk = jnp.concatenate(
                 [b[:, k * K:(k + 1) * K] for k in range(OUTS)
                  for b in blks], axis=1)
         else:
-            blk = jnp.concatenate(blks, axis=1)
+            blk = jnp.concatenate(
+                [cols_ref[pl.ds(c, 1), :, :][0] for c in cs], axis=1)
         return sweep(phi, blk)
 
     def body_wide(state):
@@ -759,6 +770,19 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # instantiations hit a >10-min compile wall at W=4; docs/DESIGN.md)
     grouped = (_os.environ.get("PT_CLUSTER_GROUPED", "0") == "1"
                and wide > 1)
+    # split-table windows (grouped only): the cols table is re-laid out
+    # type-major as (OUTS*C_tot, FEAT, K) so each window part is a whole
+    # sublane-indexed (FEAT, K) block — the enabler for small clusters
+    # (K < 128 cuts pair tests per ray; the window still sweeps
+    # wide*K >= 128 lanes densely)
+    split = (_os.environ.get("PT_CLUSTER_SPLIT", "0") == "1") and grouped
+    if ct.K % 128 != 0:
+        if not (grouped and split):
+            raise ValueError("K < 128 cluster tables need the grouped "
+                             "split-table march (PT_CLUSTER_GROUPED=1 "
+                             "PT_CLUSTER_SPLIT=1, PT_CLUSTER_WIDE > 1)")
+        if (wide * ct.K) % 128 != 0:
+            raise ValueError("wide * K must be a multiple of 128 lanes")
     if t_max is None:
         t_max = BIG
     # timing knockouts (tools/tpu_knockout.py — images are WRONG under
@@ -912,12 +936,20 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
                                guard=guard, fused6=fused6, wide=wide,
-                               pipe=pipe, grouped=grouped)
+                               pipe=pipe, grouped=grouped, split=split,
+                               C_tot=C_tot)
     n_pref = 4 if guard else 3
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi
-    cols_in = (tensor_sweep.expand6_rhs(ct.cols, axis=1) if fused6
-               else ct.cols)
+    if split:
+        # type-major re-layout (XLA, once per query — the table is a jit
+        # constant in practice): output k of cluster c at row k*C_tot + c
+        cols_base = (ct.cols.reshape(C_tot, FEAT, OUTS, K)
+                     .transpose(2, 0, 1, 3).reshape(OUTS * C_tot, FEAT, K))
+    else:
+        cols_base = ct.cols
+    cols_in = (tensor_sweep.expand6_rhs(cols_base, axis=1) if fused6
+               else cols_base)
 
     def blk(shape, index=None):
         if index is None:
@@ -954,7 +986,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         in_specs.append(blk((1, 6, ray_tile)))
         operands.append(od3)
     in_specs += [
-        blk((C_tot, feat_in, OUTS * K), (0, 0, 0)),
+        blk((OUTS * C_tot, feat_in, K) if split
+            else (C_tot, feat_in, OUTS * K), (0, 0, 0)),
         blk((C_tot, 1, K), (0, 0, 0)),
         blk((C_tot, 1, K), (0, 0, 0)),
         # rows table only when the kernel extracts winner rows — a 1-row

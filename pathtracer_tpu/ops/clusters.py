@@ -133,8 +133,14 @@ def _pad_prim_rows(scene: Scene, total: int):
 def build_cluster_tables(scene: Scene, K: int = 128) -> ClusterTables:
     """Cluster the scene's primitives. Fully traced (device, differentiable
     through the reorder); call once per render, outside the bounce loop."""
-    if K % 128 != 0:
-        raise ValueError("cluster size K must be a multiple of 128 (lanes)")
+    # K < 128 is only profitable through the march's *split-table grouped*
+    # windows (PT_CLUSTER_SPLIT=1, ops/cluster_sweep.py): the kernel then
+    # loads type-major (FEAT, K) blocks (no sub-128 lane slicing of VMEM)
+    # and sweeps W*K >= 128 lanes per window, while the finer clusters cut
+    # pair tests per ray. The rounds strategy and the per-slot wide body
+    # still need K % 128 == 0 (they lane-slice at K granularity).
+    if K % 8 != 0 or K < K_RES:
+        raise ValueError("cluster size K must be a multiple of 8, >= K_RES")
     n0 = scene.num_prims
     # capacity >= n0: regular prims must NEVER spill into the residual
     # tile — the march's skinny residual pass only tests its last K_RES

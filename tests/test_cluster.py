@@ -309,6 +309,8 @@ def test_march_wide_variants_bit_identical(monkeypatch):
                 {"PT_CLUSTER_WIDE": "8", "PT_CLUSTER_GROUPED": "1"},
                 {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "1",
                  "PT_CLUSTER_PIPE": "1"},
+                {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "1",
+                 "PT_CLUSTER_SPLIT": "1"},
                 # chunking-invariance: a 256-ray tile regroups chunks but
                 # the march still finds each ray's exact min (same winning
                 # visit, same arithmetic)
@@ -327,6 +329,34 @@ def test_march_wide_variants_bit_identical(monkeypatch):
             np.testing.assert_array_equal(np.asarray(idx), ref[0], env)
         for k in env:
             monkeypatch.delenv(k)
+
+
+def test_march_small_k_split_matches(monkeypatch):
+    """Small clusters (K=32/64) through the split-table grouped march give
+    the same hits as the K=128 reference march. Raw indices differ across K
+    (they address the reordered+padded table), so agreement is checked on
+    the ORIGINAL prim id via ct.perm; accepted t must be bit-identical (the
+    winning pair runs the same epilogue arithmetic at any K)."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=3)
+
+    ct128 = build_cluster_tables(scene, K=128)
+    idx0, t0, v0 = cluster_march(ct128, o, d, T_MIN)
+    orig0 = np.asarray(ct128.perm)[np.asarray(idx0)]
+
+    monkeypatch.setenv("PT_CLUSTER_GROUPED", "1")
+    monkeypatch.setenv("PT_CLUSTER_SPLIT", "1")
+    for K, wide in ((32, 8), (32, 4), (64, 4), (64, 2)):
+        monkeypatch.setenv("PT_CLUSTER_WIDE", str(wide))
+        ct = build_cluster_tables(scene, K=K)
+        idx, t, v = cluster_march(ct, o, d, T_MIN)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v0),
+                                      (K, wide))
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(t0),
+                                      (K, wide))
+        orig = np.asarray(ct.perm)[np.asarray(idx)]
+        vmask = np.asarray(v0)
+        np.testing.assert_array_equal(orig[vmask], orig0[vmask], (K, wide))
 
 
 def test_huge_prim_clamp_beyond_k_res():

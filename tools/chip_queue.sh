@@ -34,6 +34,11 @@ run k256 1500 env PT_CLUSTER_K=256 python bench.py
 #    overhead amortize; sorted compaction already retires dead lanes)
 run chunk230k 1500 python bench.py --ray-chunk 230400
 run chunk461k 1500 python bench.py --ray-chunk 460800
+# 9a. small clusters via split-table grouped windows: fewer pair tests
+#     per ray (finer culling), window still sweeps wide*K >= 128 lanes
+run k128_w4_split 1800 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 PT_CLUSTER_SPLIT=1 python bench.py
+run k64_w4_split 2400 env PT_CLUSTER_K=64 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 PT_CLUSTER_SPLIT=1 python bench.py
+run k32_w8_split 2400 env PT_CLUSTER_K=32 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_CLUSTER_SPLIT=1 python bench.py
 # 9. likely-winner combos (read results above before trusting defaults)
 run combo_t256_w4g 2400 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
 run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 230400
