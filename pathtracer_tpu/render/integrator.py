@@ -51,6 +51,16 @@ def _uniform_by_ray(k, rid, m: int):
     every ray a deterministic stream independent of where sorting put it —
     and makes the bounce RNG identical across sorted/unsorted accel paths
     (cross-accel image tests rely on this)."""
+    import os
+    if os.environ.get("PT_RNG_STUB") == "1":
+        # timing knockout ONLY (images are wrong): replaces the two
+        # threefry sweeps with a trivial hash so tools/tpu_knockout.py can
+        # attribute the integrator floor's RNG share
+        kw = jax.random.key_data(k).reshape(-1)[0].astype(jnp.int32)
+        base = (rid[:, None] * jnp.int32(-1640531527)
+                + jnp.arange(m, dtype=jnp.int32)[None, :] * jnp.int32(40503)
+                + kw)
+        return (base & jnp.int32(0xFFFF)).astype(jnp.float32) * (1.0 / 65536)
     keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(rid)
     return jax.vmap(lambda kk: jax.random.uniform(kk, (m,)))(keys)
 
