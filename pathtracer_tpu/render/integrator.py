@@ -139,6 +139,15 @@ def trace(scene: Scene,
     # gather; the rows are detached, so only the non-AD path uses them
     query_rows = (None if differentiable
                   else getattr(closest_hit_fn, "query_rows", None))
+    # Lean bounce RNG (PT_RNG_LEAN=1): the three scatter lobes are mutually
+    # exclusive per ray (a hit is lambertian OR metal OR dielectric), so
+    # three fresh uniforms per bounce serve all six scatter columns —
+    # lambertian reads (u0, u1), metal (u0, u1, u2), dielectric u2 — with
+    # no intra-ray reuse of a consumed value. Images change (different
+    # stream) but the estimator is unchanged; test_integrator pins the
+    # mean. Saves a third of the per-bounce threefry work.
+    import os as _os
+    lean_rng = _os.environ.get("PT_RNG_LEAN") == "1"
     # Sorted-wavefront mode (the BASELINE "sorted-ray compaction batches"
     # north star): the march's binning sort carries the whole bounce carry
     # and the wavefront STAYS in march order between bounces — no unsort
@@ -196,7 +205,12 @@ def trace(scene: Scene,
                     jax.lax.stop_gradient(o),
                     jax.lax.stop_gradient(d_query))
                 prows = None
-        uniforms = _uniform_by_ray(bkey, rid, 6)
+        if lean_rng:
+            u3 = _uniform_by_ray(bkey, rid, 3)
+            uniforms = jnp.stack([u3[:, 0], u3[:, 1], u3[:, 0], u3[:, 1],
+                                  u3[:, 2], u3[:, 2]], axis=1)
+        else:
+            uniforms = _uniform_by_ray(bkey, rid, 6)
         rec = intersect.hit_records_from_prims(
             scene, idx, o, d, jnp.float32(t_min), intersect.BIG_T, hit_valid,
             packed_rows=prows)

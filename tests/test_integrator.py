@@ -193,3 +193,31 @@ def test_stratified_sampling_lower_variance():
     plain = np.mean([mse(base, s) for s in range(4)])
     strat = np.mean([mse(base.replace(stratify=True), s) for s in range(4)])
     assert strat < plain, (strat, plain)
+
+
+def test_lean_rng_unbiased(monkeypatch):
+    """PT_RNG_LEAN=1 reuses the 3 fresh uniforms across the mutually
+    exclusive scatter lobes — a different stream, same estimator. The
+    image MEAN must agree with the default-stream render well inside the
+    Monte-Carlo error of the sample sizes used."""
+    # needs fuzzy metal + dielectric in frame: those lobes read columns
+    # that lean actually remaps (threefry is counter-based, so the first
+    # 3 of 6 uniforms are bit-equal to a 3-draw — lambertian's columns
+    # don't change at all)
+    scene, cam = get_world("random")
+    cfg = RenderConfig(width=48, height=27, spp=24, max_depth=5,
+                       accel="tensor", ray_chunk=48 * 27)
+    ref = np.asarray(render_image(scene, cam, cfg, seed=3))
+    monkeypatch.setenv("PT_RNG_LEAN", "1")
+    # the renderer is lru-cached per cfg and the env is read at trace
+    # time — force a retrace
+    from pathtracer_tpu.render import renderer as renderer_mod
+    renderer_mod._cached_renderer.cache_clear()
+    lean = np.asarray(render_image(scene, cam, cfg, seed=3))
+    renderer_mod._cached_renderer.cache_clear()
+    assert not np.array_equal(ref, lean)  # genuinely different stream
+    # image-mean sigma ~ pixel_sigma/sqrt(npixels) ~ 1e-3 at these sizes
+    assert abs(float(ref.mean()) - float(lean.mean())) < 0.01
+    # per-channel means too (catches a lobe-level bias hiding in the mean)
+    np.testing.assert_allclose(ref.mean(axis=(0, 1)),
+                               lean.mean(axis=(0, 1)), atol=0.015)

@@ -42,6 +42,10 @@ run k32_w8_split 2400 env PT_CLUSTER_K=32 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1
 # 9. likely-winner combos (read results above before trusting defaults)
 run combo_t256_w4g 2400 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
 run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 230400
-# 10. prim-count scaling (sub-linearity datapoint)
+# 10. integrator-floor attribution: how much is threefry? (stub images
+#     are WRONG - timing only); then the legitimate lean-RNG option
+run rng_stub 1500 env PT_RNG_STUB=1 python bench.py
+run rng_lean 1500 env PT_RNG_LEAN=1 python bench.py
+# 11. prim-count scaling (sub-linearity datapoint)
 run scaling 1800 python tools/bench_prim_scaling.py
 echo "=== chip queue done $(date)" >> $LOG
