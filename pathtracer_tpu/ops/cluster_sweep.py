@@ -452,22 +452,19 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         return (tensor_sweep.fused6_dot(x, blk) if fused6
                 else tensor_sweep.sweep_dot(x, blk))
 
-    def cluster_teff(c, S):
-        """Per-cluster effective t (n, K) from the cluster's S block
-        (n, OUTS*K). Branches on the cluster's (scalar-prefetched) type:
-        pure clusters skip the unused epilogue half — every mesh cluster
-        is all-triangle, and the sphere sqrt/two-root chain is the single
-        most expensive part of the epilogue. Each branch reuses the SAME
-        _epilogue halves the mixed path composes, so accepted t values are
-        bit-identical whichever branch runs."""
-        valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
-        B, C0 = S[:, 0:K], S[:, K:2 * K]
-
+    def _teff_by_type(wt, B, C0, D, E, valid, sph_fn):
+        """Effective t over a (n, width) pair block, branching on the type
+        scalar ``wt`` (0 mixed, 1 all-sphere, 2 all-triangle): pure blocks
+        skip the unused epilogue half — every mesh cluster is all-triangle,
+        and the sphere sqrt/two-root chain is the single most expensive
+        part of the epilogue. Every branch composes the SAME _epilogue
+        halves, so accepted t values are bit-identical whichever runs.
+        ``sph_fn`` defers the sphere-mask load to the mixed branch only.
+        The ONE shared implementation serves both the per-cluster visit
+        (cluster_teff) and the grouped window — edit once."""
         def t_mixed():
-            sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
-            return tensor_sweep._epilogue(
-                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], a,
-                sph != 0, valid != 0, t_min, t_max)
+            return tensor_sweep._epilogue(B, C0, D, E, a, sph_fn() != 0,
+                                          valid != 0, t_min, t_max)
 
         def t_sph_only():
             t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a[:, None],
@@ -475,13 +472,20 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
 
         def t_tri_only():
-            t_t, hit = tensor_sweep._epilogue_tri(
-                B, C0, S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], t_min,
-                t_max)
+            t_t, hit = tensor_sweep._epilogue_tri(B, C0, D, E, t_min,
+                                                  t_max)
             return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
 
-        return jax.lax.switch(ctype_ref[c],
-                              [t_mixed, t_sph_only, t_tri_only])
+        return jax.lax.switch(wt, [t_mixed, t_sph_only, t_tri_only])
+
+    def cluster_teff(c, S):
+        """Per-cluster effective t (n, K) from the cluster's S block
+        (n, OUTS*K), branching on the scalar-prefetched cluster type."""
+        valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
+        return _teff_by_type(
+            ctype_ref[c], S[:, 0:K], S[:, K:2 * K],
+            S[:, 2 * K:3 * K], S[:, 3 * K:4 * K], valid,
+            lambda: sph_ref[pl.ds(c, 1), :, :][0, 0])
 
     def cond(state):
         j, t_acc = state[0], state[1]
@@ -574,30 +578,13 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                            & (ctype_ref[cs[w]] == 2)).astype(jnp.int32)
                 sph_ct += (live[w]
                            & (ctype_ref[cs[w]] == 1)).astype(jnp.int32)
-
-            def t_mixed():
-                sph_all = jnp.concatenate(
-                    [sph_ref[pl.ds(cs[w], 1), :, :][0, 0]
-                     for w in range(wide)])
-                return tensor_sweep._epilogue(
-                    B, C0, D, E, a, sph_all != 0, valid_all != 0, t_min,
-                    t_max)
-
-            def t_sph_only():
-                t_s, hit = tensor_sweep._epilogue_sphere(
-                    B, C0, a[:, None], t_min, t_max)
-                return jnp.where(hit & (valid_all != 0)[None, :], t_s,
-                                 BIG)
-
-            def t_tri_only():
-                t_t, hit = tensor_sweep._epilogue_tri(
-                    B, C0, D, E, t_min, t_max)
-                return jnp.where(hit & (valid_all != 0)[None, :], t_t,
-                                 BIG)
-
             wt = jnp.where(tri_ct == nlive, 2,
                            jnp.where(sph_ct == nlive, 1, 0))
-            t_win = jax.lax.switch(wt, [t_mixed, t_sph_only, t_tri_only])
+            t_win = _teff_by_type(
+                wt, B, C0, D, E, valid_all,
+                lambda: jnp.concatenate(
+                    [sph_ref[pl.ds(cs[w], 1), :, :][0, 0]
+                     for w in range(wide)]))
         else:
             ts = []
             for w, c in enumerate(cs):

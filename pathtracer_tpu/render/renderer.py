@@ -213,8 +213,19 @@ def make_renderer(cfg: RenderConfig, with_bvh: bool,
     return jax.jit(render)
 
 
+def _experiment_env_sig() -> tuple:
+    """The PT_* experiment knobs are read at *trace* time (the documented
+    env-gated A/B pattern), so they must participate in the renderer cache
+    key — otherwise an in-process toggle after a same-cfg render silently
+    hits the stale jitted renderer and no-ops."""
+    import os
+    return tuple(sorted((k, v) for k, v in os.environ.items()
+                        if k.startswith(("PT_CLUSTER_", "PT_SWEEP_",
+                                         "PT_RNG_", "PT_SORT_"))))
+
+
 @functools.lru_cache(maxsize=16)
-def _cached_renderer(cfg: RenderConfig, with_bvh: bool):
+def _cached_renderer(cfg: RenderConfig, with_bvh: bool, env_sig: tuple = ()):
     return make_renderer(cfg, with_bvh)
 
 
@@ -232,5 +243,5 @@ def render_image(scene: Scene, cam: camera_mod.Camera, cfg: RenderConfig,
         bvh = build_lbvh(scene)
     if cfg.accel != "bvh":
         bvh = None
-    render = _cached_renderer(cfg, bvh is not None)
+    render = _cached_renderer(cfg, bvh is not None, _experiment_env_sig())
     return render(scene, bvh, cam, cfg.seed if seed is None else seed)

@@ -208,13 +208,10 @@ def test_lean_rng_unbiased(monkeypatch):
     cfg = RenderConfig(width=48, height=27, spp=24, max_depth=5,
                        accel="tensor", ray_chunk=48 * 27)
     ref = np.asarray(render_image(scene, cam, cfg, seed=3))
+    # PT_* knobs participate in the renderer cache key (_experiment_env_sig)
+    # so an in-process toggle retraces — no manual cache clearing
     monkeypatch.setenv("PT_RNG_LEAN", "1")
-    # the renderer is lru-cached per cfg and the env is read at trace
-    # time — force a retrace
-    from pathtracer_tpu.render import renderer as renderer_mod
-    renderer_mod._cached_renderer.cache_clear()
     lean = np.asarray(render_image(scene, cam, cfg, seed=3))
-    renderer_mod._cached_renderer.cache_clear()
     assert not np.array_equal(ref, lean)  # genuinely different stream
     # image-mean sigma ~ pixel_sigma/sqrt(npixels) ~ 1e-3 at these sizes
     assert abs(float(ref.mean()) - float(lean.mean())) < 0.01

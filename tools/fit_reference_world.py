@@ -23,10 +23,11 @@ Hypotheses (per grid cell, all from one shared mt19937 stream):
 
 Run (CPU, ~5-10 min): python tools/fit_reference_world.py
 
-RESULT (2026-08-18, 120x68 @ 4 spp): every hypothesis lands at RMSE
-0.20-0.21 with no position-matching snap (a matching field would drop the
-error by several x). The historical generator was structurally different
-from all six reconstructions (or differently seeded — the render-time
+RESULT (2026-08-18, 120x67 @ 4 spp, 7 (layout, sampleNum) configs x 2
+cameras): every hypothesis lands at RMSE 0.20-0.21 with no
+position-matching snap (a matching field would drop the error by several
+x). The historical generator was structurally different from all the
+reconstructions (or differently seeded — the render-time
 pixel seed WAS time-based, main.cu:420-422). Conclusion recorded in
 BASELINE.md: the shipped PNG's random field is not reproducible from the
 shipped source; forward parity is therefore quantified on the
