@@ -18,10 +18,71 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 BASELINE_MRAYS = 200.0  # BASELINE.md north star, Mrays/s/chip
+BENCH_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "docs", "bench_log.jsonl")
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp
+d = jax.devices()
+assert "cpu" not in str(d[0]).lower(), d
+x = jnp.ones((8, 128))
+(x @ x.T).sum().block_until_ready()
+"""
+
+
+def _probe_tpu(attempts: int = 3, probe_timeout: int = 180,
+               wait_s: int = 90) -> bool:
+    """Bounded probe-and-retry for the axon tunnel (<= ~10 min total).
+
+    The tunnel has transient hour-scale outages (docs/DESIGN.md); a single
+    failed backend init must not zero the round's bench artifact (the
+    round-2 BENCH json was a stack trace for exactly this reason). Probes
+    run in subprocesses because a hung tunnel blocks in-process forever and
+    a failed backend init is sticky for the process lifetime."""
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                               timeout=probe_timeout,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: TPU probe {i + 1}/{attempts} failed",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(wait_s)
+    return False
+
+
+def _emit_last_good(reason: str, log_path: str = BENCH_LOG) -> int:
+    """Tunnel-down fallback: re-emit the latest committed bench line,
+    marked stale with the failure reason — a dated, reproducible record
+    beats an empty artifact (VERDICT r2 'capture the number no matter
+    what the tunnel does')."""
+    try:
+        with open(log_path) as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        recs = []
+    # skip env-knobbed experiment lines (A/B runs, image-altering stubs)
+    recs = [r for r in recs if "env" not in r]
+    if not recs:
+        print(json.dumps({"metric": "bunny_forward_throughput",
+                          "value": None, "unit": "Mrays/s",
+                          "vs_baseline": None, "error": reason}))
+        return 1
+    rec = dict(recs[-1])
+    rec["stale"] = True
+    rec["stale_reason"] = reason
+    print(json.dumps(rec))
+    return 0
 
 
 def main() -> int:
@@ -36,6 +97,17 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--ray-chunk", type=int, default=57600)
     args = p.parse_args()
+
+    # Outage resilience: probe the tunnel (bounded retries) before
+    # committing to an in-process backend init; on a dead tunnel emit the
+    # latest committed bench line marked stale instead of a stack trace.
+    # PT_BENCH_NO_PROBE=1 skips the probe (chip-queue runs that already
+    # verified the tunnel).
+    want_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    if os.environ.get("PT_BENCH_NO_PROBE") != "1" and not want_cpu:
+        if not _probe_tpu():
+            return _emit_last_good("axon tunnel unreachable after "
+                                   "3 probes over ~10 min")
 
     import jax
 
@@ -66,7 +138,7 @@ def main() -> int:
     rays = cfg.num_pixels * cfg.spp * cfg.max_depth
     mrays = rays / dt / 1e6
     executed = int(n_exec)
-    print(json.dumps({
+    rec = {
         "metric": f"{args.scene}_forward_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
@@ -75,7 +147,29 @@ def main() -> int:
         "nominal_queries": rays,
         "executed_queries": executed,
         "executed_mrays_per_s": round(executed / dt / 1e6, 3),
-    }))
+    }
+    print(json.dumps(rec))
+    # Append every good live run (dated, with workload shape) to the
+    # committed bench log so a snapshot-time outage can never erase the
+    # round's number (docs/bench_log.jsonl; _emit_last_good reads it).
+    if str(jax.devices()[0].platform).lower() != "cpu":
+        logrec = dict(rec, date=time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime()),
+                      width=args.width, height=args.height, spp=args.spp,
+                      depth=args.depth, ray_chunk=args.ray_chunk)
+        # experiment runs (env-knobbed A/Bs, possibly image-altering stubs)
+        # carry their knobs; _emit_last_good skips them
+        knobs = {k: v for k, v in os.environ.items()
+                 if k.startswith(("PT_CLUSTER_", "PT_SWEEP_", "PT_RNG_",
+                                  "PT_SORT_", "PT_GATHER"))}
+        if knobs:
+            logrec["env"] = knobs
+        try:
+            os.makedirs(os.path.dirname(BENCH_LOG), exist_ok=True)
+            with open(BENCH_LOG, "a") as f:
+                f.write(json.dumps(logrec) + "\n")
+        except OSError:
+            pass
     return 0
 
 

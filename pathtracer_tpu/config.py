@@ -20,6 +20,15 @@ K_MAX_DEPTH = 50
 K_CAMERA_SPEED = 2.5  # utils/global_variables.h:36
 K_T_MIN = 1e-3        # shadow epsilon, main.cu:27
 
+# Parametric t_min for NEE *shadow* queries. Shadow segments are
+# unnormalized (light at t == 1), so a query's t_min is a PROPORTIONAL
+# ignore window (t_min x light-distance); self-intersection is instead
+# prevented by an absolute normal offset of the segment origin
+# (render/lights.direct_lighting), so the parametric window can be ~zero —
+# K_T_MIN here would skip real occluders within ~1e-3 x dist of the origin
+# (a contact-shadow light leak at Cornell scale).
+K_SHADOW_T_MIN = 1e-7
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

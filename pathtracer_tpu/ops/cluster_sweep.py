@@ -1113,10 +1113,23 @@ def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
         # t == 1), so t_max = 1.0 rejects beyond-light geometry and stops
         # the march at the light. No binning sort or unsort either — shadow
         # rays originate at the (already march-ordered) hit points, so the
-        # incoming order is locality-preserving as-is.
+        # incoming order is locality-preserving as-is. t_min is the
+        # near-zero K_SHADOW_T_MIN, not the caller's t_min: the segment
+        # origin is already offset off the surface (render/lights), and the
+        # parametric window is proportional to light distance (config.py).
         def query_shadow(o, d, active=None):
-            return cluster_march(ct, o, d, float(t_min),
+            from pathtracer_tpu.config import K_SHADOW_T_MIN
+            return cluster_march(ct, o, d, K_SHADOW_T_MIN,
                                  ray_tile=ray_tile, sort_rays=False,
                                  active=active, t_max=1.0)
+        closest.query_shadow = query_shadow
+    else:
+        def query_shadow(o, d, active=None):
+            from pathtracer_tpu.config import K_SHADOW_T_MIN
+            del active
+            return cluster_closest(ct, o, d, K_SHADOW_T_MIN,
+                                   ray_tile=ray_tile, window=window,
+                                   max_rounds=max_rounds,
+                                   sort_rays=sort_rays)
         closest.query_shadow = query_shadow
     return closest

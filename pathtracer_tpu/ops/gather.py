@@ -12,10 +12,25 @@ express the gather as ``one_hot(idx) @ table`` on the MXU:
 - the ``optimization_barrier`` keeps the algebraic simplifier from
   rewriting the matmul back into the gather it replaces.
 
-Falls back to ``jnp.take`` above ``MATMUL_MAX_ROWS`` (one-hot traffic grows
-as R x N) and on non-TPU backends where native gathers are fine.
+The take-vs-matmul POLICY lives here and only here (call sites state a
+measured per-site preference; the decision is made centrally):
+
+- ``PT_GATHER=take``   — every ``exact_rows`` is a plain ``jnp.take``
+- ``PT_GATHER=matmul`` — every ``exact_rows`` is the one-hot matmul
+- ``PT_GATHER=auto``   (default) — sites that measured a matmul win pass
+  ``force_matmul=True`` and get the matmul **on TPU only** (native gathers
+  are fine on CPU/GPU); everything else is a take. Measured basis (chip,
+  r2): one packed-row take and the one-hot matmul run at the same speed for
+  a 16k x 16 table in-loop, so takes stay default; per-bounce small-table
+  fetches (materials / lights / texture scanlines) measured ms-per-wavefront
+  as takes and prefer the matmul.
+
+The env knob is read at trace time, so it participates in the renderer
+cache key (renderer._experiment_env_sig covers ``PT_GATHER``).
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,18 +38,28 @@ import jax.numpy as jnp
 MATMUL_MAX_ROWS = 32768
 
 
+def _use_matmul(n_rows: int, force_matmul: bool) -> bool:
+    policy = os.environ.get("PT_GATHER", "auto").lower()
+    if policy == "take":
+        return False
+    if policy == "matmul":
+        return True
+    # auto: honor the call site's measured preference, on TPU only; cap the
+    # one-hot traffic (R x N) for tables too large to pay for themselves.
+    return (force_matmul and n_rows <= MATMUL_MAX_ROWS
+            and jax.default_backend() == "tpu")
+
+
 def exact_rows(table: jnp.ndarray, idx: jnp.ndarray,
                force_matmul: bool = False) -> jnp.ndarray:
     """take(table, idx, axis=0) — (N, F) x (R,) -> (R, F), exact values.
 
-    Default is a plain take: measured on the current chip, one packed-row
-    take and the one-hot matmul run at the same speed (3-4 ms per 16k x 16
-    rows in-loop), and take avoids the (R, N) one-hot traffic. The matmul
-    path is kept (``force_matmul``) for hardware where the native gather is
-    the bottleneck.
+    ``force_matmul`` is the call site's measured preference, applied per the
+    central policy above (module docstring). Both paths return bit-identical
+    values (tests/test_gather.py pins take == matmul across dtypes/backends).
     """
     n = table.shape[0]
-    if not force_matmul:
+    if not _use_matmul(n, force_matmul):
         return jnp.take(table, idx, axis=0)
     iota = jax.lax.broadcasted_iota(jnp.float32, (idx.shape[0], n), 1)
     oh = (iota == idx[:, None].astype(jnp.float32)).astype(jnp.float32)

@@ -60,13 +60,19 @@ BIG = 3.0e38  # python float: also usable inside Pallas kernels
 # inside kernels. Validate per-scene with an image diff before trusting
 # (roadmap §3): ~2^-16 relative error on the pair scalars.
 import os as _os
-SWEEP_MODE = _os.environ.get("PT_SWEEP_PRECISION", "highest").lower()
-SWEEP_PRECISION = {
+_SWEEP_PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
     "bf16x3": jax.lax.Precision.HIGH,   # XLA paths: HIGH == bf16x3
-}[SWEEP_MODE]
+}
+
+
+def sweep_mode() -> str:
+    """PT_SWEEP_PRECISION, read at *trace* time (like the PT_CLUSTER_*
+    knobs) so an in-process toggle takes effect on the next compile — the
+    renderer cache key covers PT_SWEEP_* (renderer._experiment_env_sig)."""
+    return _os.environ.get("PT_SWEEP_PRECISION", "highest").lower()
 
 
 def sweep_dot(x, y):
@@ -75,7 +81,7 @@ def sweep_dot(x, y):
     Shared by the XLA scan and every Pallas kernel so the precision story
     stays in one place. In "bf16x3" mode the split-product runs explicitly
     (Mosaic-lowerable); otherwise one dot_general with the enum."""
-    if SWEEP_MODE == "bf16x3":
+    if sweep_mode() == "bf16x3":
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         yh = y.astype(jnp.bfloat16)
@@ -88,7 +94,8 @@ def sweep_dot(x, y):
         return d(xh, yh) + d(xh, yl) + d(xl, yh)
     return jax.lax.dot_general(
         x, y, (((1,), (0,)), ((), ())),
-        precision=SWEEP_PRECISION, preferred_element_type=jnp.float32)
+        precision=_SWEEP_PRECISIONS[sweep_mode()],
+        preferred_element_type=jnp.float32)
 
 
 def split3_bf16(x):

@@ -130,10 +130,12 @@ def direct_lighting(scene: Scene, rec_p, rec_normal, albedo, closest_hit_fn,
     import jax
 
     point, n_l, emit, pdf = sample_lights(scene, u)
-    # Absolute self-intersection offset along the shading normal: the
-    # unnormalized segment direction makes the accel's parametric t_min a
-    # *proportional* ignore window (1e-3 x light distance), which at Cornell
-    # scale would skip real occluders within ~0.5 units of the surface.
+    # Self-intersection is prevented by an ABSOLUTE offset of the origin
+    # along the shading normal; the shadow query itself then runs with the
+    # near-zero parametric t_min K_SHADOW_T_MIN (every accel path's
+    # ``query_shadow``; rationale in config.py) — a bounce-query t_min
+    # would be a *proportional* ignore window (t_min x light distance) on
+    # the unnormalized segment and leak contact shadows at Cornell scale.
     origin = rec_p + eps * rec_normal
     seg = point - origin
     dist2 = vec.dot(seg, seg)

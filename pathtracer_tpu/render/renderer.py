@@ -23,6 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from pathtracer_tpu import config as config_mod
 from pathtracer_tpu.config import RenderConfig
 from pathtracer_tpu.core import camera as camera_mod
 from pathtracer_tpu.render import integrator
@@ -66,14 +67,31 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
         return make_cluster_closest_hit(ct, t_min, **kw), ct.scene
     if accel == "tensor":
         from pathtracer_tpu.ops.tensor_sweep import make_tensor_closest_hit
-        return make_tensor_closest_hit(scene, t_min), scene
+        return _with_shadow(make_tensor_closest_hit, scene, t_min), scene
     if accel == "pallas":
         from pathtracer_tpu.ops.pallas_sweep import make_pallas_closest_hit
-        return make_pallas_closest_hit(scene, t_min), scene
+        return _with_shadow(make_pallas_closest_hit, scene, t_min), scene
     if bvh is None:
-        return integrator.make_brute_closest_hit(scene, t_min), scene
+        return (_with_shadow(integrator.make_brute_closest_hit, scene,
+                             t_min), scene)
     from pathtracer_tpu.ops.traversal import make_bvh_closest_hit
-    return make_bvh_closest_hit(scene, bvh, t_min), scene
+    closest = make_bvh_closest_hit(scene, bvh, t_min)
+    shadow = make_bvh_closest_hit(scene, bvh, config_mod.K_SHADOW_T_MIN)
+    closest.query_shadow = lambda o, d, active=None: shadow(o, d)
+    return closest, scene
+
+
+def _with_shadow(factory, scene: Scene, t_min: float):
+    """Attach a near-zero-t_min NEE shadow query to a closest-hit fn.
+
+    Shadow segments are unnormalized (light at t == 1): the accel's
+    parametric t_min is a proportional ignore window, so shadow queries use
+    K_SHADOW_T_MIN instead — self-intersection is prevented by the absolute
+    origin offset in render/lights.direct_lighting (config.py rationale)."""
+    closest = factory(scene, t_min)
+    shadow = factory(scene, config_mod.K_SHADOW_T_MIN)
+    closest.query_shadow = lambda o, d, active=None: shadow(o, d)
+    return closest
 
 
 def _stratum_grid(spp: int) -> int:
@@ -170,12 +188,17 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
 
         acc, n_exec = acc
         radiance, chunk_exec = jax.lax.map(render_chunk, (rows_c, cols_c))
+        # executed-query counter rides f32: the whole-render sum exceeds
+        # int32 at production scale (1920x1080 x 512spp x depth 50 ~ 5e10
+        # nominal) — per-trace sums stay int32 (bounded by chunk x depth),
+        # the accumulator trades exactness above 2^24 for ~1e-7 relative
+        # error (a throughput statistic, not a checksum).
         return (acc + radiance.reshape(n_padded, 3),
-                n_exec + jnp.sum(chunk_exec))
+                n_exec + jnp.sum(chunk_exec).astype(jnp.float32))
 
     acc, n_exec = jax.lax.fori_loop(
         0, spp, sample_pass,
-        (jnp.zeros((n_padded, 3), jnp.float32), jnp.zeros((), jnp.int32)))
+        (jnp.zeros((n_padded, 3), jnp.float32), jnp.zeros((), jnp.float32)))
     return (acc, n_exec) if with_stats else acc
 
 
@@ -221,7 +244,8 @@ def _experiment_env_sig() -> tuple:
     import os
     return tuple(sorted((k, v) for k, v in os.environ.items()
                         if k.startswith(("PT_CLUSTER_", "PT_SWEEP_",
-                                         "PT_RNG_", "PT_SORT_"))))
+                                         "PT_RNG_", "PT_SORT_",
+                                         "PT_GATHER"))))
 
 
 @functools.lru_cache(maxsize=16)

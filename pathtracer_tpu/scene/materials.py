@@ -57,15 +57,17 @@ def sample_texture(scene: Scene, tex_id, uv):
                  scene.textures.shape[2])
     if k == 0:
         return jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
-    u = jnp.clip(uv[..., 0], 0.0, 1.0 - 1e-6)
-    v = jnp.clip(uv[..., 1], 0.0, 1.0 - 1e-6)
-    x = (u * tw).astype(jnp.int32)
-    y = ((1.0 - v) * th).astype(jnp.int32)
+    u = jnp.clip(uv[..., 0], 0.0, 1.0)
+    v = jnp.clip(uv[..., 1], 0.0, 1.0)
+    # texel clamp: v == 0 maps to y == th and u == 1 to x == tw (one past the
+    # last texel) — clamp so the seam/pole rows resolve to the edge texel on
+    # every path (unclamped, the one-hot select returned black there)
+    x = jnp.minimum((u * tw).astype(jnp.int32), tw - 1)
+    y = jnp.minimum(((1.0 - v) * th).astype(jnp.int32), th - 1)
     tid = jnp.clip(tex_id, 0, k - 1)
     from pathtracer_tpu.ops.gather import exact_rows
     scanlines = scene.textures.reshape(k * th, tw * 3)
-    rows = exact_rows(scanlines, tid * th + y,
-                      force_matmul=jax.default_backend() == "tpu")
+    rows = exact_rows(scanlines, tid * th + y, force_matmul=True)
     rows3 = rows.reshape(rows.shape[0], tw, 3)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], tw), 1)
            == x[:, None])
@@ -92,12 +94,11 @@ def scatter(scene: Scene, rec: HitRecords, in_dir, uniforms) -> ScatterResult:
         scene.emit,
         scene.tex_id.astype(jnp.float32)[:, None],
     ], axis=1)
-    # material tables are small (M ~ 10^0..10^2): force the one-hot matmul
-    # on TPU — the native gather serializes per OUTPUT row (~ms per 57.6k
-    # wavefront) regardless of table size
-    import jax
-    rows = exact_rows(packed, rec.mat_id,
-                      force_matmul=jax.default_backend() == "tpu")
+    # material tables are small (M ~ 10^0..10^2): prefer the one-hot matmul
+    # — the native TPU gather serializes per OUTPUT row (~ms per 57.6k
+    # wavefront) regardless of table size. Applied per the central policy
+    # in ops/gather (PT_GATHER env knob; matmul on TPU only).
+    rows = exact_rows(packed, rec.mat_id, force_matmul=True)
     mtype = rows[:, 0].astype(jnp.int32)
     albedo = rows[:, 1:4]
     fuzz = rows[:, 4]

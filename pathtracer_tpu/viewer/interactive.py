@@ -81,23 +81,35 @@ class ViewerSession:
         return self._passes
 
 
+# Fixed-width cell template: zero-padded color components keep every cell
+# exactly 41 bytes, so the whole frame assembles as ONE preallocated uint8
+# buffer with vectorized digit stores (a per-pixel Python f-string loop is
+# pathological beyond preview sizes; np.char.add is no faster). ANSI
+# accepts leading zeros in SGR parameters.
+_CELL = np.frombuffer(
+    "\x1b[38;2;000;000;000m\x1b[48;2;000;000;000m▀".encode(), np.uint8)
+_EOL = np.frombuffer(b"\x1b[0m\n", np.uint8)
+_DIGIT_POS = (7, 11, 15, 26, 30, 34)  # tR tG tB bR bG bB start offsets
+
+
 def _ansi_frame(img: np.ndarray) -> str:
     """Render (H, W, 3) f32 row-0-bottom to ANSI half-block text."""
     h, w = img.shape[:2]
     rgb = (np.clip(img[::-1], 0.0, 0.999) * 256).astype(np.uint8)
     if h % 2:
         rgb = rgb[:-1]
-    lines = []
-    for y in range(0, rgb.shape[0], 2):
-        top, bot = rgb[y], rgb[y + 1]
-        cells = []
-        for x in range(w):
-            tr, tg, tb = top[x]
-            br, bg, bb = bot[x]
-            cells.append(f"\x1b[38;2;{tr};{tg};{tb}m"
-                         f"\x1b[48;2;{br};{bg};{bb}m▀")
-        lines.append("".join(cells) + "\x1b[0m")
-    return "\n".join(lines)
+    h2 = rgb.shape[0] // 2
+    buf = np.empty((h2, w * len(_CELL) + len(_EOL)), np.uint8)
+    cells = buf[:, :w * len(_CELL)].reshape(h2, w, len(_CELL))
+    cells[:] = _CELL
+    buf[:, w * len(_CELL):] = _EOL
+    comps = np.concatenate([rgb[0::2], rgb[1::2]], axis=2)  # (h2, w, 6)
+    for i, pos in enumerate(_DIGIT_POS):
+        v = comps[..., i].astype(np.uint16)
+        cells[..., pos] = v // 100 + 48
+        cells[..., pos + 1] = v // 10 % 10 + 48
+        cells[..., pos + 2] = v % 10 + 48
+    return buf.tobytes()[:-1].decode()  # drop the trailing newline
 
 
 def run_viewer(scene, cam: Camera, cfg: RenderConfig,

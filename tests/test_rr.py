@@ -29,12 +29,15 @@ def test_rr_unbiased_and_cheaper():
 
 
 def test_rr_off_matches_legacy_stream():
-    # rr=False must leave images bit-identical to the pre-RR integrator
-    # (the RR uniforms draw from a separate folded key)
+    # rr=False must leave the sample stream identical to the pre-RR
+    # integrator (the RR uniforms draw from a separate folded key): compare
+    # against a STORED golden of that stream, so a change to the rr=False
+    # path fails here (a second in-process render would only test
+    # determinism).
     scene, cam = worlds.get_world("test")
     cfg = RenderConfig(width=32, height=18, spp=4, max_depth=6,
                        accel="brute", ray_chunk=32 * 18, scene="test")
     render = make_renderer(cfg, with_bvh=False)
     a = np.asarray(render(scene, None, cam, 0))
-    b = np.asarray(render(scene, None, cam, 0))
-    np.testing.assert_array_equal(a, b)
+    golden = np.load("tests/golden/test_world_rr_off_32x18_s4d6.npy")
+    np.testing.assert_allclose(a, golden, atol=2e-3)

@@ -40,7 +40,6 @@ def main():
     scene, cam = get_world("bunny")
     rays = args.width * args.height * args.spp * args.depth
 
-    from pathtracer_tpu.ops import tensor_sweep
     orig = cluster_sweep.cluster_march
     import numpy as np
     imgs = {}
@@ -62,15 +61,11 @@ def main():
                 return orig(*a, **kw)
             cluster_sweep.cluster_march = patched
         if "sweep_mode" in v:
-            # SWEEP_MODE/SWEEP_PRECISION are read at trace time — rebind
-            # and rebuild the renderer (fresh jit) for a same-process A/B
-            tensor_sweep.SWEEP_MODE = v["sweep_mode"]
-            tensor_sweep.SWEEP_PRECISION = {
-                "default": jax.lax.Precision.DEFAULT,
-                "high": jax.lax.Precision.HIGH,
-                "highest": jax.lax.Precision.HIGHEST,
-                "bf16x3": jax.lax.Precision.HIGH,
-            }[v["sweep_mode"]]
+            # PT_SWEEP_PRECISION is read at trace time (tensor_sweep.
+            # sweep_mode); set the env and rebuild the renderer (fresh jit)
+            # for a same-process A/B
+            import os
+            os.environ["PT_SWEEP_PRECISION"] = v["sweep_mode"]
 
         cfg = RenderConfig(width=args.width, height=args.height,
                            spp=args.spp, max_depth=args.depth,
