@@ -61,6 +61,34 @@ def _uniform_by_ray(k, rid, m: int):
                 + jnp.arange(m, dtype=jnp.int32)[None, :] * jnp.int32(40503)
                 + kw)
         return (base & jnp.int32(0xFFFF)).astype(jnp.float32) * (1.0 / 65536)
+    if os.environ.get("PT_RNG_FAST") == "1":
+        # Legitimate fast path: ONE threefry sweep over per-ray blocks
+        # (rid, column-block) replaces the per-ray fold_in sweep (a full
+        # threefry block per ray) + the uniform sweep — fewer threefry
+        # blocks (3 vs 4 for m=6), no serial fold_in->uniform chain, no
+        # vmap. The primitive is bound directly because the high-level
+        # threefry_2x32 pairs element i with element i+n/2 (output would
+        # depend on lane layout); one block per (rid, j) keeps draws a
+        # pure function of ray id (the sorted-wavefront contract) and
+        # collision-free per key. A different stream than the default,
+        # the same estimator (test_integrator pins the mean).
+        from jax.extend import random as jxr
+        kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
+        kd = kd.reshape(-1)
+        n_blk = (m + 1) // 2
+        shape = (rid.shape[0], n_blk)
+        x0 = jnp.broadcast_to(rid[:, None].astype(jnp.uint32), shape)
+        x1 = jnp.broadcast_to(
+            jnp.arange(n_blk, dtype=jnp.uint32)[None, :], shape)
+        w0, w1 = jxr.threefry2x32_p.bind(kd[0], kd[1], x0, x1)
+        bits = jnp.stack([w0, w1], axis=-1).reshape(
+            rid.shape[0], 2 * n_blk)[:, :m]
+        # bits -> [0, 1): the standard set-exponent trick (bitcast
+        # 1.mantissa, subtract 1) — same construction jax.random.uniform
+        # uses
+        f = jax.lax.bitcast_convert_type(
+            (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
+        return f - 1.0
     keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(rid)
     return jax.vmap(lambda kk: jax.random.uniform(kk, (m,)))(keys)
 

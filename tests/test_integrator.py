@@ -218,3 +218,43 @@ def test_lean_rng_unbiased(monkeypatch):
     # per-channel means too (catches a lobe-level bias hiding in the mean)
     np.testing.assert_allclose(ref.mean(axis=(0, 1)),
                                lean.mean(axis=(0, 1)), atol=0.015)
+
+
+def test_fast_rng_uniform_and_layout_invariant(monkeypatch):
+    """PT_RNG_FAST=1: one counter-based threefry sweep. The draws must be
+    (a) uniform on [0, 1), (b) a pure function of ray id (lane-permutation
+    invariant — the sorted-wavefront contract), (c) distinct across rays
+    and columns."""
+    monkeypatch.setenv("PT_RNG_FAST", "1")
+    import jax
+    from pathtracer_tpu.render.integrator import _uniform_by_ray
+
+    k = jax.random.PRNGKey(11)
+    rid = jnp.arange(4096, dtype=jnp.int32)
+    u = np.asarray(_uniform_by_ray(k, rid, 6))
+    assert u.shape == (4096, 6)
+    assert (u >= 0.0).all() and (u < 1.0).all()
+    # ~Uniform: mean 0.5 +- 3*sigma/sqrt(n), sigma = 1/sqrt(12)
+    assert abs(u.mean() - 0.5) < 3 * 0.2887 / np.sqrt(u.size)
+    # near-distinct cells: f32 has 23 mantissa bits, so ~n^2/2^24 birthday
+    # collisions (~36 here) are expected; gross degeneracy (a broken
+    # counter map) would crater this
+    assert np.unique(u).size > 0.99 * u.size
+    # ray-id keyed: a permuted wavefront draws the same values per ray
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(0), 4096))
+    u_perm = np.asarray(_uniform_by_ray(k, rid[perm], 6))
+    np.testing.assert_array_equal(u_perm, u[perm])
+
+
+def test_fast_rng_unbiased(monkeypatch):
+    """PT_RNG_FAST=1 renders a different stream, the same estimator."""
+    scene, cam = get_world("random")
+    cfg = RenderConfig(width=48, height=27, spp=24, max_depth=5,
+                       accel="tensor", ray_chunk=48 * 27)
+    ref = np.asarray(render_image(scene, cam, cfg, seed=3))
+    monkeypatch.setenv("PT_RNG_FAST", "1")
+    fast = np.asarray(render_image(scene, cam, cfg, seed=3))
+    assert not np.array_equal(ref, fast)
+    assert abs(float(ref.mean()) - float(fast.mean())) < 0.01
+    np.testing.assert_allclose(ref.mean(axis=(0, 1)),
+                               fast.mean(axis=(0, 1)), atol=0.015)

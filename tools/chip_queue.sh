@@ -30,6 +30,12 @@ run chunk230k 1500 python bench.py --ray-chunk 230400
 # 5. integrator-floor attribution (stub images WRONG - timing only)
 run rng_stub 1500 env PT_RNG_STUB=1 python bench.py
 run rng_lean 1500 env PT_RNG_LEAN=1 python bench.py
+run rng_fast 1500 env PT_RNG_FAST=1 python bench.py
+run rng_fast_lean 1500 env PT_RNG_FAST=1 PT_RNG_LEAN=1 python bench.py
+# floor decomposition: query-stub = the 76 ms integrator floor itself;
+# query-stub+RNG_STUB isolates the threefry share of that floor
+run floor_knockout 2400 python tools/tpu_knockout.py --variants full,query-stub
+run floor_rng 1800 env PT_RNG_STUB=1 python tools/tpu_knockout.py --variants query-stub
 # 6. second-tier variants
 run pipe 1500 env PT_CLUSTER_PIPE=1 python bench.py
 run tile256_pipe 1800 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_PIPE=1 python bench.py
@@ -38,6 +44,10 @@ run k128_w4_split 1800 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 PT_CLUSTER_SPL
 run wide3 2400 env PT_CLUSTER_WIDE=3 python bench.py
 run k256 1500 env PT_CLUSTER_K=256 python bench.py
 run chunk461k 1500 python bench.py --ray-chunk 460800
+# straggler-tail direction: smaller chunks won for the pallas sweep
+# (DESIGN.md "Wavefront chunk size") - check the march too
+run chunk28k 1500 python bench.py --ray-chunk 28800
+run chunk14k 1500 python bench.py --ray-chunk 14400
 # 7. likely-winner combos (read results above before trusting defaults)
 run combo_t256_w4g 2400 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
 run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 230400
