@@ -370,7 +370,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
-                  wide, pipe, grouped, split=False, C_tot=0):
+                  wide, pipe, grouped, split=False, C_tot=0, stream=False):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -396,7 +396,25 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
     two extra inputs (cluster AABB corners, per-chunk ray o/d blocks) are
     only part of the kernel signature when guard=True — the default kernel
     neither relayouts nor DMAs them."""
-    if guard:
+    if stream:
+        # Streamed-table march (PT_CLUSTER_STREAM=1): the cluster tables
+        # live in HBM (memory_space ANY); only *visited* clusters ever
+        # cross into VMEM, via double-buffered per-window async DMAs —
+        # capacity becomes HBM-bound (millions of prims) instead of the
+        # ~65k-prim VMEM wall, and sub-linearity is preserved because DMA
+        # traffic is proportional to clusters MARCHED, not scene size.
+        # The per-chunk ids/ents order rows also live in HBM and are
+        # DMA'd into SMEM scratch at chunk start (the scalar-prefetch
+        # SMEM tables grow as n_chunks x C_reg and stop fitting long
+        # before the cols do — the DESIGN.md "SMEM growth" open risk).
+        (ctype_ref, ids_hbm, ents_hbm, phi_ref, a_ref, gate_ref,
+         cols_hbm, sph_ref, valid_ref, rows_hbm,
+         t_ref, best_ref, rows_out, ids_s, ents_s, tab_sem,
+         cols_buf, cols_sem, *rest) = refs
+        if with_rows:
+            rows_buf, rows_sem = rest
+        ids_ref = ents_ref = cols_ref = rows_ref = None
+    elif guard:
         (ids_ref, ents_ref, ctype_ref, cbox_ref, phi_ref, a_ref,
          gate_ref, od_ref, cols_ref, sph_ref, valid_ref, rows_ref,
          t_ref, best_ref, rows_out) = refs
@@ -405,6 +423,53 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
          gate_ref, cols_ref, sph_ref, valid_ref, rows_ref,
          t_ref, best_ref, rows_out) = refs
     i = pl.program_id(0)
+    if stream:
+        # chunk i's march order -> SMEM (scalar reads in cond/body below)
+        cp_i = pltpu.make_async_copy(ids_hbm.at[i], ids_s, tab_sem.at[0])
+        cp_e = pltpu.make_async_copy(ents_hbm.at[i], ents_s, tab_sem.at[1])
+        cp_i.start()
+        cp_e.start()
+        cp_i.wait()
+        cp_e.wait()
+
+        def ids_at(j):
+            return ids_s[j]
+
+        def ents_at(j):
+            return ents_s[j]
+
+        def issue_window(p):
+            """Start the async fetch of window p's W cluster blocks into
+            buffer slot p%2 (speculative past the stop point is safe: the
+            caller pads 2W sentinel slots whose ids are 0 — a harmless
+            re-fetch whose result is never read)."""
+            slot = jax.lax.rem(p, 2)
+            for w in range(wide):
+                c = ids_at(wide * p + w)
+                pltpu.make_async_copy(
+                    cols_hbm.at[c], cols_buf.at[slot, w],
+                    cols_sem.at[slot]).start()
+                if with_rows:
+                    pltpu.make_async_copy(
+                        rows_hbm.at[c], rows_buf.at[slot, w],
+                        rows_sem.at[slot]).start()
+
+        def wait_window(p):
+            slot = jax.lax.rem(p, 2)
+            for w in range(wide):
+                pltpu.make_async_copy(
+                    cols_hbm.at[0], cols_buf.at[slot, w],
+                    cols_sem.at[slot]).wait()
+                if with_rows:
+                    pltpu.make_async_copy(
+                        rows_hbm.at[0], rows_buf.at[slot, w],
+                        rows_sem.at[slot]).wait()
+    else:
+        def ids_at(j):
+            return ids_ref[i, j]
+
+        def ents_at(j):
+            return ents_ref[i, j]
     phi = phi_ref[:]
     a = a_ref[0, 0]
     gate = gate_ref[0, 0]
@@ -489,7 +554,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
 
     def cond(state):
         j, t_acc = state[0], state[1]
-        return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, j]
+        return jnp.max(jnp.minimum(t_acc, gate)) > ents_at(j)
 
     # Wide visits (``wide`` = W > 1): iteration p sweeps clusters
     # Wp .. Wp+W-1 of the chunk's order as ONE concatenated matmul + ONE
@@ -507,7 +572,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
     def cond_wide(state):
         p = state[0]
         t_acc = state[2] if pipe else state[1]
-        return jnp.max(jnp.minimum(t_acc, gate)) > ents_ref[i, wide * p]
+        return jnp.max(jnp.minimum(t_acc, gate)) > ents_at(wide * p)
 
     def window_S(p):
         """The window's concatenated sweep result (n, W*OUTS*K).
@@ -521,7 +586,19 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         slot), making kernel code size independent of W. Column values
         are untouched (a matmul's output columns are independent), only
         their order changes."""
-        cs = [ids_ref[i, wide * p + w] for w in range(wide)]
+        if stream:
+            # blocks were DMA'd into this window's buffer slot (the body
+            # waits the slot's semaphore before calling window_S)
+            slotbuf = cols_buf[pl.ds(jax.lax.rem(p, 2), 1)][0]
+            blks = [slotbuf[w] for w in range(wide)]
+            if grouped:
+                blk = jnp.concatenate(
+                    [b[:, k * K:(k + 1) * K] for k in range(OUTS)
+                     for b in blks], axis=1)
+            else:
+                blk = jnp.concatenate(blks, axis=1)
+            return sweep(phi, blk)
+        cs = [ids_at(wide * p + w) for w in range(wide)]
         if split:
             # type-major table (OUTS*C_tot, FEAT, K): part k of cluster c
             # is a whole (FEAT, K) sublane-indexed block — no sub-128 lane
@@ -549,8 +626,13 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             p, S, t_acc, b_acc, r_acc = state
         else:
             p, t_acc, b_acc, r_acc = state
+            if stream:
+                # start the NEXT window's DMAs before waiting this one —
+                # the fetch overlaps this window's matmul + epilogue
+                issue_window(p + 1)
+                wait_window(p)
             S = window_S(p)                           # (n, W*OUTS*K)
-        cs = [ids_ref[i, wide * p + w] for w in range(wide)]
+        cs = [ids_at(wide * p + w) for w in range(wide)]
         if grouped:
             # one wide epilogue over the whole window (S is type-grouped,
             # see window_S). The window's ctype is decided from the live
@@ -561,7 +643,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             # slots fold into the valid mask (their columns go BIG,
             # exactly like the per-slot where the v1 body applied).
             WK = wide * K
-            live = [ents_ref[i, wide * p + w] < BIG * 0.5
+            live = [ents_at(wide * p + w) < BIG * 0.5
                     for w in range(wide)]
             valid_all = jnp.concatenate(
                 [jnp.where(live[w],
@@ -590,7 +672,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             for w, c in enumerate(cs):
                 t_w = cluster_teff(c, S[:, w * 4 * K:(w + 1) * 4 * K])
                 if w > 0:                             # sentinel slots
-                    live = ents_ref[i, wide * p + w] < BIG * 0.5
+                    live = ents_at(wide * p + w) < BIG * 0.5
                     t_w = jnp.where(live, t_w, BIG)
                 ts.append(t_w)
             t_win = jnp.concatenate(ts, axis=1)       # (n, W*K)
@@ -604,9 +686,14 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         if with_rows:
             oh_t = (jax.lax.broadcasted_iota(jnp.int32, (wide * K, n), 0)
                     == local_j[None, :]).astype(jnp.bfloat16)
-            blk48 = jnp.concatenate(
-                [rows_ref[pl.ds(c, 1), :, :][0] for c in cs],
-                axis=1)                               # (48, W*K)
+            if stream:
+                rbuf = rows_buf[pl.ds(jax.lax.rem(p, 2), 1)][0]
+                blk48 = jnp.concatenate(
+                    [rbuf[w] for w in range(wide)], axis=1)
+            else:
+                blk48 = jnp.concatenate(
+                    [rows_ref[pl.ds(c, 1), :, :][0] for c in cs],
+                    axis=1)                           # (48, W*K)
             new_rows = jax.lax.dot_general(
                 blk48, oh_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)   # (48, n)
@@ -620,7 +707,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
 
     def body(state):
         j, t_acc, b_acc, r_acc = state
-        c = ids_ref[i, j]
+        c = ids_at(j)
 
         def visit(carry):
             t_acc, b_acc, r_acc = carry
@@ -672,12 +759,23 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         # prime the pipeline: window 0's S, only when the chunk marches at
         # all (zero-visit chunks — all-sky / all-dead — must not pay a
         # speculative matmul; this cond runs once per chunk, not per visit)
-        marches0 = jnp.max(jnp.minimum(t0, gate)) > ents_ref[i, 0]
+        marches0 = jnp.max(jnp.minimum(t0, gate)) > ents_at(0)
         S0 = jax.lax.cond(
             marches0, lambda: window_S(jnp.int32(0)),
             lambda: jnp.zeros((n, wide * OUTS * K), jnp.float32))
         _, _, t_acc, b_acc, r_acc = jax.lax.while_loop(
             cond_wide, body_wide, (jnp.int32(0), S0, t0, b0, r0))
+    elif stream:
+        # prime window 0's DMAs only when the chunk marches at all, and
+        # drain the one always-outstanding window after the loop (every
+        # body issues p+1 and waits p, so exactly window p_end is in
+        # flight at exit — its sentinel fetch must be waited or the DMA
+        # semaphore leaks into the next grid step)
+        marches0 = jnp.max(jnp.minimum(t0, gate)) > ents_at(0)
+        pl.when(marches0)(lambda: issue_window(jnp.int32(0)))
+        p_end, t_acc, b_acc, r_acc = jax.lax.while_loop(
+            cond_wide, body_wide, (jnp.int32(0), t0, b0, r0))
+        pl.when(marches0)(lambda: wait_window(p_end))
     else:
         _, t_acc, b_acc, r_acc = jax.lax.while_loop(
             cond_wide if wide > 1 else cond,
@@ -763,6 +861,16 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # (K < 128 cuts pair tests per ray; the window still sweeps
     # wide*K >= 128 lanes densely)
     split = (_os.environ.get("PT_CLUSTER_SPLIT", "0") == "1") and grouped
+    # streamed-table march (PT_CLUSTER_STREAM=1): cluster cols/rows stay
+    # in HBM and only *visited* clusters are DMA'd into a double-buffered
+    # VMEM scratch — lifts the ~65k-prim VMEM capacity wall (and the
+    # n_chunks x C_reg SMEM prefetch-table wall) to HBM scale while
+    # keeping DMA traffic proportional to clusters marched. Exact same
+    # results as the resident march (the blocks are byte-identical).
+    stream = _os.environ.get("PT_CLUSTER_STREAM", "0") == "1"
+    if stream and (guard or pipe or split or fused6):
+        raise ValueError("PT_CLUSTER_STREAM composes with wide/grouped "
+                         "only (not guard/pipe/split/fused6)")
     if ct.K % 128 != 0:
         if not (grouped and split):
             raise ValueError("K < 128 cluster tables need the grouped "
@@ -870,7 +978,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # (the last live window may straddle M-1; the probe at the following
     # window then reads up to slot M+W-1). The pipelined march
     # speculatively fetches one window further: 2W sentinels.
-    n_sent = 2 * wide if pipe else wide
+    n_sent = 2 * wide if (pipe or stream) else wide
     ids = jnp.concatenate(
         [ids_sorted, jnp.zeros((n_chunks, n_sent), jnp.int32)], axis=1)
     ents = jnp.concatenate(
@@ -924,8 +1032,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                                t_max=float(t_max), with_rows=with_rows,
                                guard=guard, fused6=fused6, wide=wide,
                                pipe=pipe, grouped=grouped, split=split,
-                               C_tot=C_tot)
-    n_pref = 4 if guard else 3
+                               C_tot=C_tot, stream=stream)
+    n_pref = 1 if stream else (4 if guard else 3)
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi
     if split:
@@ -972,28 +1080,66 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                .reshape(6, n_chunks, ray_tile).transpose(1, 0, 2))
         in_specs.append(blk((1, 6, ray_tile)))
         operands.append(od3)
-    in_specs += [
-        blk((OUTS * C_tot, feat_in, K) if split
-            else (C_tot, feat_in, OUTS * K), (0, 0, 0)),
-        blk((C_tot, 1, K), (0, 0, 0)),
-        blk((C_tot, 1, K), (0, 0, 0)),
-        # rows table only when the kernel extracts winner rows — a 1-row
-        # dummy otherwise (12 KB/cluster of VMEM back for query-only
-        # marches; the kernel never reads rows_ref unless with_rows)
-        blk((C_tot if with_rows else 1, 48, K), (0, 0, 0)),
-    ]
-    operands += [cols_in, ct.is_sphere, ct.valid_row,
-                 ct.rows if with_rows else ct.rows[:1]]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_pref,
-        grid=(n_chunks,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-    )
-    prefetch = [ids, ents, ct.ctype]
-    if guard:
-        cbox = jnp.concatenate([ct.cmin, ct.cmax], axis=1).reshape(-1)
-        prefetch.append(cbox)
+    if stream:
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+        # ids/ents rows + the big tables stay in HBM; the kernel DMAs
+        # chunk i's order rows into SMEM scratch and visited clusters
+        # into a double-buffered VMEM scratch (see _march_kernel)
+        in_specs = [any_spec, any_spec] + in_specs + [
+            any_spec,                                 # cols
+            blk((C_tot, 1, K), (0, 0, 0)),            # is_sphere
+            blk((C_tot, 1, K), (0, 0, 0)),            # valid_row
+            (any_spec if with_rows
+             else blk((1, 48, K), (0, 0, 0))),        # rows
+        ]
+        operands = [ids, ents] + operands + [
+            cols_in, ct.is_sphere, ct.valid_row,
+            ct.rows if with_rows else ct.rows[:1]]
+        M_pad = M + n_sent
+        scratch_shapes = [
+            pltpu.SMEM((M_pad,), jnp.int32),          # ids_s
+            pltpu.SMEM((M_pad,), jnp.float32),        # ents_s
+            pltpu.SemaphoreType.DMA((2,)),            # tab_sem
+            pltpu.VMEM((2, wide, FEAT, OUTS * K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),            # cols_sem
+        ]
+        if with_rows:
+            scratch_shapes += [
+                pltpu.VMEM((2, wide, 48, K), ct.rows.dtype),
+                pltpu.SemaphoreType.DMA((2,)),        # rows_sem
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_pref,
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        prefetch = [ct.ctype]
+    else:
+        in_specs += [
+            blk((OUTS * C_tot, feat_in, K) if split
+                else (C_tot, feat_in, OUTS * K), (0, 0, 0)),
+            blk((C_tot, 1, K), (0, 0, 0)),
+            blk((C_tot, 1, K), (0, 0, 0)),
+            # rows table only when the kernel extracts winner rows — a
+            # 1-row dummy otherwise (12 KB/cluster of VMEM back for
+            # query-only marches; the kernel never reads rows_ref unless
+            # with_rows)
+            blk((C_tot if with_rows else 1, 48, K), (0, 0, 0)),
+        ]
+        operands += [cols_in, ct.is_sphere, ct.valid_row,
+                     ct.rows if with_rows else ct.rows[:1]]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_pref,
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        prefetch = [ids, ents, ct.ctype]
+        if guard:
+            cbox = jnp.concatenate([ct.cmin, ct.cmax], axis=1).reshape(-1)
+            prefetch.append(cbox)
     if stub_kernel:
         # keep the kernel's XLA feeders (cull, gate, chunk-entry sort, phi)
         # alive so the knockout isolates ONLY the pallas call: fold a

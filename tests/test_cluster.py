@@ -311,6 +311,13 @@ def test_march_wide_variants_bit_identical(monkeypatch):
                  "PT_CLUSTER_PIPE": "1"},
                 {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "1",
                  "PT_CLUSTER_SPLIT": "1"},
+                # streamed-table march: HBM-resident tables, per-window
+                # DMA into double-buffered scratch — byte-identical blocks
+                # so bit-identical results
+                {"PT_CLUSTER_STREAM": "1"},
+                {"PT_CLUSTER_STREAM": "1", "PT_CLUSTER_WIDE": "1"},
+                {"PT_CLUSTER_STREAM": "1", "PT_CLUSTER_WIDE": "4",
+                 "PT_CLUSTER_GROUPED": "1"},
                 # chunking-invariance: a 256-ray tile regroups chunks but
                 # the march still finds each ray's exact min (same winning
                 # visit, same arithmetic)
@@ -384,3 +391,73 @@ def test_huge_prim_clamp_beyond_k_res():
     o = jax.random.uniform(k, (384, 3)) * 30.0 - 15.0
     d = jax.random.normal(jax.random.fold_in(k, 1), (384, 3)) * 40.0
     _check_vs_brute(scene, ct, o, d, query=cluster_march)
+
+
+def test_stream_march_beyond_vmem_scale(monkeypatch):
+    """The streamed march's whole reason to exist: a scene whose cluster
+    table exceeds the ~16 MB VMEM budget (the resident march's capacity
+    wall, docs/DESIGN.md). 80k prims -> ~15.4 MB cols + rows/sph/valid on
+    top; the streamed path must agree with brute force exactly."""
+    import numpy as np
+    from pathtracer_tpu.ops.cluster_sweep import BIG, cluster_march
+    from pathtracer_tpu.ops import intersect
+    from pathtracer_tpu.scene.scene import PRIM_SPHERE, Scene
+
+    n = 80_000
+    rng = np.random.default_rng(7)
+    m = int(np.ceil(n ** (1.0 / 3.0)))
+    g = (np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                  axis=-1).reshape(-1, 3)[:n]).astype(np.float32)
+    spacing = 20.0 / m
+    centers = ((g + 0.5 + 0.35 * rng.standard_normal((n, 3))) * spacing
+               - 10.0).astype(np.float32)
+    radius = (0.25 * spacing) * np.ones(n, np.float32)
+    z3 = np.zeros((n, 3), np.float32)
+    bmin, bmax = centers - radius[:, None], centers + radius[:, None]
+    scene = Scene(
+        prim_type=jnp.full((n,), PRIM_SPHERE, jnp.int32),
+        v0=jnp.asarray(centers), e1=jnp.asarray(z3), e2=jnp.asarray(z3),
+        radius=jnp.asarray(radius), tri_normal=jnp.asarray(z3),
+        prim_mat=jnp.zeros((n,), jnp.int32),
+        box_min=jnp.asarray(bmin), box_max=jnp.asarray(bmax),
+        mat_type=jnp.zeros((1,), jnp.int32),
+        albedo=jnp.full((1, 3), 0.5, jnp.float32),
+        fuzz=jnp.zeros((1,), jnp.float32), ir=jnp.zeros((1,), jnp.float32),
+        emit=jnp.zeros((1, 3), jnp.float32),
+        tex_id=jnp.full((1,), -1, jnp.int32),
+        world_min=jnp.asarray(bmin.min(axis=0)),
+        world_max=jnp.asarray(bmax.max(axis=0)),
+        light_idx=jnp.zeros((0,), jnp.int32),
+        textures=jnp.zeros((0, 8, 8, 3), jnp.float32))
+    ct = build_cluster_tables(scene)
+    assert ct.cols.size * 4 > 15e6  # genuinely beyond the resident wall
+
+    monkeypatch.setenv("PT_CLUSTER_STREAM", "1")
+    R = 128
+    o = jnp.tile(jnp.array([[0.0, 0.0, -15.0]]), (R, 1))
+    d = jax.random.normal(jax.random.PRNGKey(3), (R, 3))
+    idx, t, valid = cluster_march(ct, o, d, T_MIN)
+    idx_b, t_b, v_b = intersect.brute_force_closest(
+        ct.scene, o, d, jnp.float32(T_MIN), BIG)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(v_b))
+    vm = np.asarray(v_b)
+    np.testing.assert_array_equal(np.asarray(idx)[vm], np.asarray(idx_b)[vm])
+    np.testing.assert_allclose(np.asarray(t)[vm], np.asarray(t_b)[vm],
+                               rtol=1e-4)
+
+
+def test_render_image_cluster_stream_bit_identical(monkeypatch):
+    """End-to-end render through the sorted-wavefront integrator with the
+    streamed march == the resident march, bit for bit (extras + winner-row
+    emission both ride the streamed path)."""
+    import numpy as np
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.render.renderer import render_image
+
+    scene, cam = worlds.get_world("bunny")
+    cfg = RenderConfig(width=64, height=36, spp=2, max_depth=3,
+                       accel="cluster", ray_chunk=64 * 36, scene="bunny")
+    ref = np.asarray(render_image(scene, cam, cfg, seed=5))
+    monkeypatch.setenv("PT_CLUSTER_STREAM", "1")
+    img = np.asarray(render_image(scene, cam, cfg, seed=5))
+    np.testing.assert_array_equal(img, ref)

@@ -10,9 +10,14 @@ the dense sweep is O(R*N); the march should grow far slower.
 Capacity note: the march keeps its cluster tables VMEM-resident
 (cols 24 KB + metadata ~1 KB per 128-prim cluster; +12 KB rows only for
 with_rows marches), bounding a single kernel at roughly ~500 clusters
-(~65k prims) for query-only marches on a 16 MB-VMEM chip. Streaming the
-table over a second grid axis lifts this; reference-scale scenes are well
-inside it.
+(~65k prims) for query-only marches on a 16 MB-VMEM chip. The streamed
+march (PT_CLUSTER_STREAM=1, ops/cluster_sweep.py) lifts the wall to HBM
+scale: tables stay in HBM and only *visited* clusters are DMA'd into a
+double-buffered VMEM scratch, so DMA traffic tracks clusters marched,
+not scene size. Use it for sizes beyond ~65k:
+
+    PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py \
+        --sizes 5000,20000,45000,100000,200000
 
 Run on the real chip: python tools/bench_prim_scaling.py
 """

@@ -53,4 +53,8 @@ run combo_t256_w4g 2400 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_WIDE=4 PT_CLUSTER
 run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 230400
 # 8. prim-count scaling (sub-linearity datapoint)
 run scaling 1800 python tools/bench_prim_scaling.py
+# 9. streamed-table march: render overhead vs resident, then the
+# beyond-VMEM sub-linearity demo (the march's headline claim at scale)
+run stream_bench 1800 env PT_CLUSTER_STREAM=1 python bench.py
+run scaling_stream 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 5000,20000,45000,100000,200000
 echo "=== chip queue done $(date)" >> $LOG
