@@ -910,7 +910,36 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     t_min = float(t_min)
     rid = jnp.arange(r_pad, dtype=jnp.int32)
 
-    entry = _cull_T(o, d, active, ct.cmin, ct.cmax, t_min)
+    # Supercluster cull (PT_CLUSTER_SUPER=G > 1): the XLA cull is dense
+    # O(R x C) — fine while C is tiny, ~2 ms/query at 200k prims
+    # (C=1563). Grouping G morton-consecutive clusters under a union AABB
+    # culls/bins/orders at C/G granularity (G x cheaper cull + binning
+    # sort key), then each visited supercluster expands to its G member
+    # clusters for the march — which the existing wide-window kernel
+    # sweeps as ordinary window slots. Exact: a supercluster's entry
+    # lower-bounds every member's entry, expanded entries stay
+    # non-decreasing, and the per-lane gate argument holds at
+    # supercluster granularity (beyond the lane's farthest touched
+    # supercluster entry, every supercluster it touches has been
+    # processed). Members of a partial trailing group pad by duplicating
+    # the last cluster — a duplicate window slot can never beat the
+    # first instance. Visit ORDER within a supercluster is id order (not
+    # per-cluster entry order), so exact-tie winners may differ from
+    # sup=1 (measure zero); t values agree to the usual contract.
+    sup = int(_os.environ.get("PT_CLUSTER_SUPER", "1"))
+    if sup > 1:
+        pad = -(-C_reg // sup) * sup - C_reg
+        cull_min = jnp.concatenate(
+            [ct.cmin, jnp.full((pad, 3), BIG, jnp.float32)]
+        ).reshape(-1, sup, 3).min(axis=1)
+        cull_max = jnp.concatenate(
+            [ct.cmax, jnp.full((pad, 3), -BIG, jnp.float32)]
+        ).reshape(-1, sup, 3).max(axis=1)
+        C_cull = cull_min.shape[0]
+    else:
+        cull_min, cull_max, C_cull = ct.cmin, ct.cmax, C_reg
+
+    entry = _cull_T(o, d, active, cull_min, cull_max, t_min)
     if sort_rays:
         # two-level bin key (nearest touched cluster, last touched
         # cluster): rays sharing the nearest cluster but spanning
@@ -921,13 +950,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         kmin = jnp.argmin(entry, axis=0).astype(jnp.int32)
         any_t = jnp.any(touched, axis=0)
         if key2:
-            klast = (C_reg - 1 - jnp.argmax(touched[::-1, :], axis=0)
+            klast = (C_cull - 1 - jnp.argmax(touched[::-1, :], axis=0)
                      .astype(jnp.int32))
             key = jnp.where(any_t,
-                            kmin * (C_reg + 1) + klast,
-                            jnp.int32(C_reg * (C_reg + 2)))
+                            kmin * (C_cull + 1) + klast,
+                            jnp.int32(C_cull * (C_cull + 2)))
         else:
-            key = jnp.where(any_t, kmin, jnp.int32(C_reg))
+            key = jnp.where(any_t, kmin, jnp.int32(C_cull))
         # keep_sorted callers never unsort here (their extras carry the
         # persistent ray id), so the march-internal rid payload is dropped
         n_extra = len(extras) if keep_sorted else 0
@@ -945,7 +974,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
             extras = tuple(ops[8:8 + n_extra])
         else:
             rid = ops[8]
-        entry = _cull_T(o, d, active, ct.cmin, ct.cmax, t_min)
+        entry = _cull_T(o, d, active, cull_min, cull_max, t_min)
 
     d_eff = jnp.where(active[:, None], d, 0.0)
     phi = ray_features(o, d_eff)
@@ -967,11 +996,20 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         gate = jnp.minimum(gate, -BIG)
 
     # per-chunk ascending cluster order by entry distance
-    chunk_entry = entry.reshape(C_reg, n_chunks, ray_tile).min(axis=2).T
-    iota = jnp.broadcast_to(jnp.arange(C_reg, dtype=jnp.int32),
-                            (n_chunks, C_reg))
+    chunk_entry = entry.reshape(C_cull, n_chunks, ray_tile).min(axis=2).T
+    iota = jnp.broadcast_to(jnp.arange(C_cull, dtype=jnp.int32),
+                            (n_chunks, C_cull))
     ents_sorted, ids_sorted = jax.lax.sort_key_val(chunk_entry, iota,
                                                    dimension=1)
+    if sup > 1:
+        # expand each supercluster slot to its G member clusters (id
+        # order), every member inheriting the supercluster entry (a valid
+        # lower bound); trailing-group padding duplicates the last cluster
+        ids_sorted = jnp.minimum(
+            ids_sorted[:, :, None] * sup
+            + jnp.arange(sup, dtype=jnp.int32)[None, None, :],
+            C_reg - 1).reshape(n_chunks, -1)
+        ents_sorted = jnp.repeat(ents_sorted, sup, axis=1)
     # terminal sentinel entries +BIG: the while cond max(t_best) > ents[j]
     # is false there (t_best <= BIG), guaranteeing termination at j == M.
     # Wide marches read slots Wp .. Wp+W-1, so they carry W sentinel slots
@@ -984,7 +1022,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     ents = jnp.concatenate(
         [ents_sorted, jnp.full((n_chunks, n_sent), BIG, jnp.float32)],
         axis=1)
-    M = C_reg
+    M = ids_sorted.shape[1]
     K = ct.K
 
     # ---- residual tile in XLA, not in the march --------------------------

@@ -19,10 +19,39 @@ BUNNY_OBJ = os.environ.get(
     "PT_BUNNY_OBJ", "/root/reference/models/bunny/bunny.obj")
 
 
+def subdivide_faces(verts, faces, levels: int = 1):
+    """4:1 midpoint subdivision, ``levels`` times (numpy, host).
+
+    Splits every triangle into four at its edge midpoints — the surface
+    is unchanged (no smoothing), only the triangle count quadruples, so a
+    level-k bunny is the *same geometry* at 4^k x the primitive count:
+    the honest scaling workload for the sub-linear closest-hit
+    (tools/bench_prim_scaling.py --bunny). Emits unshared triangle soup
+    (vertex dedup is irrelevant to the SoA intersection tables)."""
+    import numpy as np
+    for _ in range(levels):
+        a = verts[faces[:, 0]]
+        b = verts[faces[:, 1]]
+        c = verts[faces[:, 2]]
+        ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+        tris = np.concatenate([
+            np.stack([a, ab, ca], axis=1),
+            np.stack([ab, b, bc], axis=1),
+            np.stack([ca, bc, c], axis=1),
+            np.stack([ab, bc, ca], axis=1),
+        ], axis=0)                                  # (4F, 3, 3)
+        verts = tris.reshape(-1, 3)
+        faces = np.arange(verts.shape[0], dtype=np.int64).reshape(-1, 3)
+    return verts, faces
+
+
 def bunny_world(obj_path: str = BUNNY_OBJ, scale: float = 20.0,
-                material: str = "lambertian") -> Tuple[Scene, Camera]:
+                material: str = "lambertian",
+                subdivide: int = 0) -> Tuple[Scene, Camera]:
     verts, faces = load_obj(obj_path)
     verts = verts * scale
+    if subdivide:
+        verts, faces = subdivide_faces(verts, faces, subdivide)
     # center on origin, rest on y=0
     lo = verts.min(axis=0)
     hi = verts.max(axis=0)

@@ -461,3 +461,33 @@ def test_render_image_cluster_stream_bit_identical(monkeypatch):
     monkeypatch.setenv("PT_CLUSTER_STREAM", "1")
     img = np.asarray(render_image(scene, cam, cfg, seed=5))
     np.testing.assert_array_equal(img, ref)
+
+
+def test_supercluster_cull_matches(monkeypatch):
+    """PT_CLUSTER_SUPER=G culls/bins/orders at G-group granularity and
+    expands visited superclusters into member clusters for the march —
+    results must agree with the default march (idx equal away from exact
+    ties; here the bunny has none at these rays)."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=7)
+    ct = build_cluster_tables(scene)
+    idx0, t0, v0 = cluster_march(ct, o, d, T_MIN)
+    for env in ({"PT_CLUSTER_SUPER": "4"},
+                {"PT_CLUSTER_SUPER": "8"},
+                {"PT_CLUSTER_SUPER": "4", "PT_CLUSTER_STREAM": "1"},
+                {"PT_CLUSTER_SUPER": "4", "PT_CLUSTER_WIDE": "4",
+                 "PT_CLUSTER_GROUPED": "1"},
+                # G beyond C_reg: a single supercluster (degenerate but
+                # legal — every chunk marches the whole list)
+                {"PT_CLUSTER_SUPER": "64"}):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        idx1, t1, v1 = cluster_march(ct, o, d, T_MIN)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0), env)
+        hit = np.asarray(v0)
+        np.testing.assert_allclose(np.asarray(t1)[hit],
+                                   np.asarray(t0)[hit], rtol=1e-6,
+                                   err_msg=str(env))
+        assert (np.asarray(idx1)[hit] == np.asarray(idx0)[hit]).all(), env
+        for k in env:
+            monkeypatch.delenv(k)

@@ -30,6 +30,13 @@ def main():
     p.add_argument("--sizes", default="5000,20000,45000")
     p.add_argument("--rays", type=int, default=57600)
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--bunny", action="store_true",
+                   help="real-geometry mode: --sizes are 4:1 midpoint "
+                        "subdivision LEVELS of the bunny mesh (0 -> 4,971"
+                        " prims, 1 -> 19.9k, 2 -> 79.5k, 3 -> 318k; same "
+                        "surface every level). Levels >= 2 exceed the "
+                        "resident march's VMEM wall — run with "
+                        "PT_CLUSTER_STREAM=1.")
     args = p.parse_args()
 
     import jax
@@ -78,13 +85,22 @@ def main():
             textures=jnp.zeros((0, 8, 8, 3), jnp.float32),
         )
 
-    # camera-like wavefront: origins on a plane at z = -30, directions at
-    # jittered grid targets (coherent like primary rays, so the binning
-    # sort has real structure to exploit — same as a render's wavefront)
+    # camera-like wavefront: origins on a plane behind the scene,
+    # directions at jittered targets inside it (coherent like primary
+    # rays, so the binning sort has real structure to exploit — same as a
+    # render's wavefront)
     k = jax.random.PRNGKey(1)
-    tgt = jax.random.uniform(k, (r, 3), jnp.float32) * 20.0 - 10.0
-    org = jnp.stack([tgt[:, 0] * 0.2, tgt[:, 1] * 0.2,
-                     jnp.full((r,), -30.0)], axis=1)
+    if args.bunny:
+        # aim inside the bunny's bbox from the bunny camera's side
+        u = jax.random.uniform(k, (r, 3), jnp.float32)
+        tgt = jnp.stack([u[:, 0] * 5.0 - 2.5, u[:, 1] * 5.0,
+                         u[:, 2] * 4.0 - 2.0], axis=1)
+        org = jnp.stack([tgt[:, 0] * 0.2, tgt[:, 1] * 0.2 + 3.0,
+                         jnp.full((r,), 9.0)], axis=1)
+    else:
+        tgt = jax.random.uniform(k, (r, 3), jnp.float32) * 20.0 - 10.0
+        org = jnp.stack([tgt[:, 0] * 0.2, tgt[:, 1] * 0.2,
+                         jnp.full((r,), -30.0)], axis=1)
     dirs = tgt - org
 
     # dispatch latency anchor (subtracted from every loop timing)
@@ -102,7 +118,12 @@ def main():
         return max(0.0, time.perf_counter() - t0 - dispatch) / n_it
 
     for n in (int(s) for s in args.sizes.split(",")):
-        scene = sphere_cloud(n)
+        if args.bunny:
+            from pathtracer_tpu.scene.bunny import bunny_world
+            scene, _ = bunny_world(subdivide=n)
+            n = int(scene.num_prims)
+        else:
+            scene = sphere_cloud(n)
         ct = build_cluster_tables(scene)
         tables = tensor_sweep.pack_sweep_tables(scene)
 

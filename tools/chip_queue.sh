@@ -57,4 +57,10 @@ run scaling 1800 python tools/bench_prim_scaling.py
 # beyond-VMEM sub-linearity demo (the march's headline claim at scale)
 run stream_bench 1800 env PT_CLUSTER_STREAM=1 python bench.py
 run scaling_stream 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 5000,20000,45000,100000,200000
+# real-geometry scaling: the same bunny surface at 4^k x prim count
+# (levels 2-3 exceed the resident VMEM wall -> stream); supercluster
+# cull keeps the XLA cull share flat at scale
+run scaling_bunny 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 0,1,2,3
+run scaling_bunny_sup8 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_SUPER=8 python tools/bench_prim_scaling.py --bunny --sizes 2,3
+run super4_bench 1500 env PT_CLUSTER_SUPER=4 python bench.py
 echo "=== chip queue done $(date)" >> $LOG
