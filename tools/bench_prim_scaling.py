@@ -38,6 +38,13 @@ def main():
                         "resident march's VMEM wall — run with "
                         "PT_CLUSTER_STREAM=1.")
     args = p.parse_args()
+    if args.bunny:
+        if args.sizes == "5000,20000,45000":   # cloud-mode default
+            args.sizes = "0,1,2,3"
+        levels = [int(s) for s in args.sizes.split(",")]
+        if max(levels) > 6:
+            p.error(f"--bunny sizes are subdivision LEVELS (got "
+                    f"{max(levels)}; level 6 is already 20M prims)")
 
     import jax
     import jax.numpy as jnp

@@ -60,10 +60,10 @@ TARGETS = {
     ),
     "rtiow": (
         "/root/reference/output/13_2.png",
-        # the RTIOW book camera the milestone frames use (main.cu:412-416
-        # pairs the tree's world with a different view; the milestones
-        # predate that): lookfrom (13,2,3) -> origin, vfov 20, f/0.1
-        dict(lookfrom=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0),
+        # fitted camera (BASELINE.md r3 row) — the search seeded at the
+        # RTIOW book view (13,2,3) and converged here, the same fit the
+        # lbvh target found; --quick reproduces the recorded scores
+        dict(lookfrom=(14.0, 2.25, 4.0), lookat=(0.0, 0.0, 0.0),
              vfov=20.0, aperture=0.1),
         {
             # fractions measured off 13_2.png (1200x800, row 0 = top)
@@ -142,12 +142,21 @@ def main():
 
     if args.target in TARGETS:
         ref_png, seed_cam, boxes = TARGETS[args.target]
+        target = read_png(ref_png)[..., :3].astype(np.float32)
     else:
-        ref_png, seed_cam, boxes = args.target, TARGETS["lbvh"][1], \
-            TARGETS["lbvh"][2]
+        # path form: adopt the seed camera + hero-crop boxes of the alias
+        # whose frame aspect matches (13.png/13_1.png are 3:2 RTIOW
+        # frames -> rtiow composition; 16:9-ish -> lbvh)
+        ref_png = args.target
+        target = read_png(ref_png)[..., :3].astype(np.float32)
+        asp = target.shape[1] / target.shape[0]
+        alias = min(TARGETS.values(),
+                    key=lambda t: abs(
+                        asp - (lambda im: im.shape[1] / im.shape[0])(
+                            read_png(t[0]))))
+        _, seed_cam, boxes = alias
 
     os.makedirs(args.out, exist_ok=True)
-    target = read_png(ref_png)[..., :3].astype(np.float32)
     aspect = target.shape[1] / target.shape[0]
 
     scene, _ = reference_random_world()
