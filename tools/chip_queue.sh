@@ -13,7 +13,9 @@ echo "=== chip queue start $(date)" >> $LOG
 run() {
   name=$1; to=$2; shift 2
   echo "--- $name $(date +%H:%M:%S)" >> $LOG
-  timeout "$to" "$@" 2>&1 | grep -v -i warning | tail -2 >> $LOG
+  # tail -12: bench prints 1-2 lines but knockout/scaling print one line
+  # per variant/size — keep them all
+  timeout "$to" "$@" 2>&1 | grep -v -i warning | tail -12 >> $LOG
 }
 
 # 1. sanity anchor: default bench (expect ~12.9; discard batch if off)
