@@ -1,8 +1,10 @@
 #!/bin/bash
 # Chip experiment queue (run when the axon tunnel recovers).
 # Serialized on purpose: never time TPU work while other host work runs.
-# Ordered by information value in case the tunnel window is short.
-# Each step appends one line to /tmp/chip_queue.log.
+# Ordered by information value in case the tunnel window is short:
+# tier A = round-3 deliverables (march wins, floor attribution,
+# sub-linearity demo), tier B = remaining sweeps/combos.
+# Every kernel variant here passed tools/tpu_lowering_check.py on CPU.
 set -u
 LOG=/tmp/chip_queue.log
 cd /root/repo
@@ -18,27 +20,40 @@ run() {
   timeout "$to" "$@" 2>&1 | grep -v -i warning | tail -12 >> $LOG
 }
 
-# 1. sanity anchor: default bench (expect ~12.9; discard batch if off)
+### tier A — round-3 deliverables first
+
+# A1. sanity anchor: default bench (expect ~12.9; discard batch if off)
 run default 1200 python bench.py
-# 2. the W question: grouped windows make compile W-independent
+# A2. the W question: grouped windows make compile W-independent
 run wide4_grp 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
 run wide8_grp 2400 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py
-# 3. small clusters (fewer pair tests/ray) via the split table
+# A3. integrator-floor attribution + best legitimate fix
+#     (rng_stub images WRONG - timing only)
+run rng_stub 1500 env PT_RNG_STUB=1 python bench.py
+run rng_fast_lean 1500 env PT_RNG_FAST=1 PT_RNG_LEAN=1 python bench.py
+# A4. sub-linearity at scale, real geometry (levels 2-3 beyond the
+#     resident VMEM wall -> streamed march)
+run scaling_bunny 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 0,1,2,3
+# A5. small clusters (fewer pair tests/ray) via the split table
 run k32_w8_split 2400 env PT_CLUSTER_K=32 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_CLUSTER_SPLIT=1 python bench.py
 run k64_w4_split 2400 env PT_CLUSTER_K=64 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 PT_CLUSTER_SPLIT=1 python bench.py
-# 4. fewer grid steps / fewer launches
+# A6. fewer grid steps / fewer launches
 run tile256 1500 env PT_CLUSTER_RAY_TILE=256 python bench.py
 run chunk230k 1500 python bench.py --ray-chunk 230400
-# 5. integrator-floor attribution (stub images WRONG - timing only)
-run rng_stub 1500 env PT_RNG_STUB=1 python bench.py
-run rng_lean 1500 env PT_RNG_LEAN=1 python bench.py
-run rng_fast 1500 env PT_RNG_FAST=1 python bench.py
-run rng_fast_lean 1500 env PT_RNG_FAST=1 PT_RNG_LEAN=1 python bench.py
-# floor decomposition: query-stub = the 76 ms integrator floor itself;
-# query-stub+RNG_STUB isolates the threefry share of that floor
+# A7. floor decomposition: query-stub = the 76 ms integrator floor
+#     itself; query-stub+RNG_STUB isolates the threefry share of it
 run floor_knockout 2400 python tools/tpu_knockout.py --variants full,query-stub
 run floor_rng 1800 env PT_RNG_STUB=1 python tools/tpu_knockout.py --variants query-stub
-# 6. second-tier variants
+# A8. streamed-table march: render overhead vs resident + cloud scaling
+run stream_bench 1800 env PT_CLUSTER_STREAM=1 python bench.py
+run scaling_stream 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 5000,20000,45000,100000,200000
+
+### tier B — remaining sweeps and combos
+
+# B1. rng singles (decompose the fast_lean combo if it wins)
+run rng_lean 1500 env PT_RNG_LEAN=1 python bench.py
+run rng_fast 1500 env PT_RNG_FAST=1 python bench.py
+# B2. second-tier march variants
 run pipe 1500 env PT_CLUSTER_PIPE=1 python bench.py
 run tile256_pipe 1800 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_PIPE=1 python bench.py
 run wide2_grp 1500 env PT_CLUSTER_WIDE=2 PT_CLUSTER_GROUPED=1 python bench.py
@@ -50,19 +65,12 @@ run chunk461k 1500 python bench.py --ray-chunk 460800
 # (DESIGN.md "Wavefront chunk size") - check the march too
 run chunk28k 1500 python bench.py --ray-chunk 28800
 run chunk14k 1500 python bench.py --ray-chunk 14400
-# 7. likely-winner combos (read results above before trusting defaults)
+# B3. likely-winner combos (read results above before trusting defaults)
 run combo_t256_w4g 2400 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
 run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 230400
-# 8. prim-count scaling (sub-linearity datapoint)
+# B4. synthetic-cloud scaling (resident, reference point for A4/A8)
 run scaling 1800 python tools/bench_prim_scaling.py
-# 9. streamed-table march: render overhead vs resident, then the
-# beyond-VMEM sub-linearity demo (the march's headline claim at scale)
-run stream_bench 1800 env PT_CLUSTER_STREAM=1 python bench.py
-run scaling_stream 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 5000,20000,45000,100000,200000
-# real-geometry scaling: the same bunny surface at 4^k x prim count
-# (levels 2-3 exceed the resident VMEM wall -> stream); supercluster
-# cull keeps the XLA cull share flat at scale
-run scaling_bunny 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 0,1,2,3
-run scaling_bunny_sup8 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_SUPER=8 python tools/bench_prim_scaling.py --bunny --sizes 2,3
+# B5. supercluster cull at bench scale and at scene scale
 run super4_bench 1500 env PT_CLUSTER_SUPER=4 python bench.py
+run scaling_bunny_sup8 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_SUPER=8 python tools/bench_prim_scaling.py --bunny --sizes 2,3
 echo "=== chip queue done $(date)" >> $LOG
