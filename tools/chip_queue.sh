@@ -59,6 +59,7 @@ run tile256_pipe 1800 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_PIPE=1 python bench
 run wide2_grp 1500 env PT_CLUSTER_WIDE=2 PT_CLUSTER_GROUPED=1 python bench.py
 run k128_w4_split 1800 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 PT_CLUSTER_SPLIT=1 python bench.py
 run wide3 2400 env PT_CLUSTER_WIDE=3 python bench.py
+run wide16_grp 2400 env PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
 run k256 1500 env PT_CLUSTER_K=256 python bench.py
 run chunk461k 1500 python bench.py --ray-chunk 460800
 # straggler-tail direction: smaller chunks won for the pallas sweep
