@@ -12,8 +12,25 @@ cd /root/repo
 export PT_BENCH_NO_PROBE=1
 echo "=== chip queue start $(date)" >> $LOG
 
+probe() {
+  timeout 240 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+d = jax.devices()
+assert "cpu" not in str(d[0]).lower(), d
+x = jnp.ones((8, 128))
+(x @ x.T).sum().block_until_ready()
+EOF
+}
+
 run() {
   name=$1; to=$2; shift 2
+  # mid-queue outage guard: if the tunnel died between entries, wait for
+  # it (up to ~1 h) instead of burning every remaining entry on timeouts
+  for i in $(seq 1 12); do
+    probe && break
+    echo "... tunnel lost before $name, probe $i failed $(date +%H:%M:%S)" >> $LOG
+    sleep 120
+  done
   echo "--- $name $(date +%H:%M:%S)" >> $LOG
   # tail -12: bench prints 1-2 lines but knockout/scaling print one line
   # per variant/size — keep them all
