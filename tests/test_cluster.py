@@ -446,17 +446,22 @@ def test_stream_march_beyond_vmem_scale(monkeypatch):
                                rtol=1e-4)
 
 
-def test_render_image_cluster_stream_bit_identical(monkeypatch):
+@pytest.mark.parametrize("world", ["bunny", "cornell"])
+def test_render_image_cluster_stream_bit_identical(monkeypatch, world):
     """End-to-end render through the sorted-wavefront integrator with the
     streamed march == the resident march, bit for bit (extras + winner-row
-    emission both ride the streamed path)."""
+    emission ride the streamed path; cornell adds NEE shadow queries with
+    their t_max=1 march gate)."""
     import numpy as np
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.render.renderer import render_image
 
-    scene, cam = worlds.get_world("bunny")
-    cfg = RenderConfig(width=64, height=36, spp=2, max_depth=3,
-                       accel="cluster", ray_chunk=64 * 36, scene="bunny")
+    scene, cam = worlds.get_world(world)
+    nee = world == "cornell"
+    cfg = RenderConfig(width=48, height=48 if nee else 27, spp=2,
+                       max_depth=3, accel="cluster",
+                       ray_chunk=48 * (48 if nee else 27), scene=world,
+                       sky=not nee, nee=nee)
     ref = np.asarray(render_image(scene, cam, cfg, seed=5))
     monkeypatch.setenv("PT_CLUSTER_STREAM", "1")
     img = np.asarray(render_image(scene, cam, cfg, seed=5))
