@@ -86,6 +86,9 @@ run chunk14k 1500 python bench.py --ray-chunk 14400
 # B3. likely-winner combos (read results above before trusting defaults)
 run combo_t256_w4g 2400 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py
 run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 230400
+# stream moves the (n_chunks x C_reg) ids/ents tables out of SMEM — a
+# candidate fix for the 230k-chunk >30min compile wall (DESIGN.md)
+run combo_c230_stream 2400 env PT_CLUSTER_STREAM=1 python bench.py --ray-chunk 230400
 # B4. synthetic-cloud scaling (resident, reference point for A4/A8)
 run scaling 1800 python tools/bench_prim_scaling.py
 # B5. supercluster cull at bench scale and at scene scale
