@@ -48,15 +48,30 @@ def main():
     anchor = next((r[1]["value"] for r in parsed
                    if r[0] == "default" and r[1]), None)
     print(f"{'entry':18s} {'Mrays/s':>8s} {'exec':>8s} {'vs def':>7s}")
+    multiline = []
     for name, rec, payload in parsed:
         if rec is None:
-            tail = payload[-1][:60] if payload else "(no output)"
-            print(f"{name:18s} {'FAIL':>8s}  -> {tail}")
+            # knockout/scaling entries print per-variant/per-size lines,
+            # not one JSON — collect and show them in full below
+            info = [ln for ln in payload
+                    if ("ms" in ln or "N=" in ln or ":" in ln)
+                    and not ln.startswith("backend")]
+            if info:
+                multiline.append((name, info))
+                print(f"{name:18s} {'multi':>8s}  ({len(info)} lines, below)")
+            else:
+                tail = payload[-1][:60] if payload else "(no output)"
+                print(f"{name:18s} {'FAIL':>8s}  -> {tail}")
             continue
         v = rec.get("value")
         ex = rec.get("executed_mrays_per_s", float("nan"))
         rel = f"{v / anchor:5.2f}x" if anchor else "  n/a"
-        print(f"{name:18s} {v:8.2f} {ex:8.2f} {rel:>7s}")
+        stale = "  STALE" if rec.get("stale") else ""
+        print(f"{name:18s} {v:8.2f} {ex:8.2f} {rel:>7s}{stale}")
+    for name, info in multiline:
+        print(f"\n== {name}")
+        for ln in info:
+            print("  " + ln)
     good = sorted((r for r in parsed if r[1]), key=lambda r: -r[1]["value"])
     if good:
         print(f"\nbest: {good[0][0]} at {good[0][1]['value']} Mrays/s")
