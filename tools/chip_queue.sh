@@ -94,4 +94,7 @@ run scaling 1800 python tools/bench_prim_scaling.py
 # B5. supercluster cull at bench scale and at scene scale
 run super4_bench 1500 env PT_CLUSTER_SUPER=4 python bench.py
 run scaling_bunny_sup8 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_SUPER=8 python tools/bench_prim_scaling.py --bunny --sizes 2,3
+# B6. gallery artifact: 79.5k-tri bunny (beyond the resident VMEM wall)
+# rendered end-to-end through the streamed march
+run big_scene 2400 python examples/big_scene.py --level 2 --width 640 --spp 8 --out /root/repo/docs/gallery/bunny_79k_stream_640.png
 echo "=== chip queue done $(date)" >> $LOG
