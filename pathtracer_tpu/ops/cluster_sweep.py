@@ -893,8 +893,11 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     n_chunks = r_pad // ray_tile
     keep_sorted = extras is not None
     if keep_sorted:
-        assert with_rows and sort_rays and r_pad == r, (
-            "extras mode needs with_rows, sort_rays, chunk-aligned R")
+        # sort_rays=False is legal here: extras pass through untouched and
+        # the wavefront keeps its incoming order (the PT_SORT_ONCE
+        # integrator mode re-bins on the camera bounce only)
+        assert with_rows and r_pad == r, (
+            "extras mode needs with_rows and chunk-aligned R")
 
     if r_pad != r:
         o = jnp.pad(o, ((0, r_pad - r), (0, 0)))
@@ -1286,10 +1289,15 @@ def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
             # sorted-wavefront protocol (render/integrator.py): the
             # caller's per-ray state rides the binning sort and everything
             # stays in march order — no unsort per bounce at all.
-            def query_sorted(o, d, active, extras):
+            def query_sorted(o, d, active, extras, resort=True):
+                # resort=False keeps the incoming lane order (no binning
+                # sort this bounce) — exact either way, the march finds
+                # each lane's true min regardless of chunk grouping;
+                # only locality (clusters marched per chunk) changes
                 return cluster_march(ct, o, d, float(t_min),
                                      ray_tile=ray_tile, with_rows=True,
-                                     active=active, extras=extras)
+                                     active=active, extras=extras,
+                                     sort_rays=resort)
             closest.query_sorted = query_sorted
             closest.ray_tile = ray_tile
 

@@ -189,7 +189,14 @@ def trace(scene: Scene,
     # hauling three payloads through the per-bounce sort in that case
     carry_emit = bool(scene.num_lights > 0)
 
-    def bounce_step(depth, carry):
+    # PT_SORT_ONCE=1 (sorted mode): bin the wavefront on the camera bounce
+    # only; later bounces keep the incoming lane order (resort=False march
+    # — exact, see ops/cluster_sweep.query_sorted). Trades re-binning sort
+    # cost (one lax.sort of the full carry per bounce) against locality on
+    # bounce wavefronts; an on-chip A/B knob.
+    sort_once = sorted_mode and _os.environ.get("PT_SORT_ONCE") == "1"
+
+    def bounce_step(depth, carry, resort=True):
         (o, d, atten, alive, absorbed, emitted_acc, spec_prev, prev_pdf,
          rid, n_exec) = carry
         bkey = jax.random.fold_in(key, depth)
@@ -209,9 +216,12 @@ def trace(scene: Scene,
                            emitted_acc[:, 2]]
             if use_nee:
                 extras += [prev_pdf]
+            # kwargs only when skipping the re-bin: knockout stubs replace
+            # query_sorted with a positional-only signature
             idx, _, hit_valid, prows, o, d, alive, ex = query_sorted(
                 jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
-                alive, tuple(extras))
+                alive, tuple(extras),
+                **({} if resort else {"resort": False}))
             atten = jnp.stack(ex[0:3], axis=1)
             packed = ex[3]
             rid = packed & ((1 << 29) - 1)
@@ -350,10 +360,17 @@ def trace(scene: Scene,
 
         def body(state):
             depth, carry = state
-            return depth + 1, bounce_step(depth, carry)
+            return depth + 1, bounce_step(depth, carry,
+                                          resort=not sort_once)
 
+        start = jnp.int32(0)
+        if sort_once and max_depth >= 1:
+            # unroll the camera bounce with the binning sort; the loop
+            # then marches every later bounce in that order
+            carry0 = bounce_step(jnp.int32(0), carry0)
+            start = jnp.int32(1)
         _, (o, d, atten, alive, absorbed, emitted_acc, _, _, rid, n_exec) \
-            = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+            = jax.lax.while_loop(cond, body, (start, carry0))
 
     if sorted_mode:
         # one unsort restores pixel order for everything the epilogue reads

@@ -496,3 +496,21 @@ def test_supercluster_cull_matches(monkeypatch):
         assert (np.asarray(idx1)[hit] == np.asarray(idx0)[hit]).all(), env
         for k in env:
             monkeypatch.delenv(k)
+
+
+def test_sort_once_mode_matches(monkeypatch):
+    """PT_SORT_ONCE=1 bins the wavefront on the camera bounce only; later
+    bounces march in that order (resort=False). Exact winners — images
+    agree to fp round-off (chunk regrouping can move a sphere-epilogue
+    ulp; anything larger would mean a wrong winner)."""
+    import numpy as np
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.render.renderer import render_image
+
+    scene, cam = worlds.get_world("bunny")
+    cfg = RenderConfig(width=64, height=36, spp=2, max_depth=4,
+                       accel="cluster", ray_chunk=64 * 36, scene="bunny")
+    ref = np.asarray(render_image(scene, cam, cfg, seed=5))
+    monkeypatch.setenv("PT_SORT_ONCE", "1")
+    img = np.asarray(render_image(scene, cam, cfg, seed=5))
+    np.testing.assert_allclose(img, ref, atol=2e-6)

@@ -70,6 +70,9 @@ run scaling_stream 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.
 # B1. rng singles (decompose the fast_lean combo if it wins)
 run rng_lean 1500 env PT_RNG_LEAN=1 python bench.py
 run rng_fast 1500 env PT_RNG_FAST=1 python bench.py
+# sort-once: camera-bounce binning only (saves ~3/4 of re-bin sorts
+# against bounce-wavefront locality — exact, see test_sort_once_mode)
+run sort_once 1500 env PT_SORT_ONCE=1 python bench.py
 # B2. second-tier march variants
 run pipe 1500 env PT_CLUSTER_PIPE=1 python bench.py
 run tile256_pipe 1800 env PT_CLUSTER_RAY_TILE=256 PT_CLUSTER_PIPE=1 python bench.py
