@@ -94,6 +94,11 @@ run combo_c230_w4g 2400 env PT_CLUSTER_WIDE=4 PT_CLUSTER_GROUPED=1 python bench.
 run combo_c230_stream 2400 env PT_CLUSTER_STREAM=1 python bench.py --ray-chunk 230400
 # B4. synthetic-cloud scaling (resident, reference point for A4/A8)
 run scaling 1800 python tools/bench_prim_scaling.py
+# cross-scene cluster-vs-tensor (the default-flip evidence, VERDICT #4)
+run cornell_cluster 1500 python bench.py --scene cornell
+run cornell_tensor 1500 python bench.py --scene cornell --accel tensor
+run random_cluster 1500 python bench.py --scene random
+run random_tensor 1500 python bench.py --scene random --accel tensor
 # B5. supercluster cull at bench scale and at scene scale
 run super4_bench 1500 env PT_CLUSTER_SUPER=4 python bench.py
 run scaling_bunny_sup8 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_SUPER=8 python tools/bench_prim_scaling.py --bunny --sizes 2,3
