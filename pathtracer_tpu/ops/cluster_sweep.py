@@ -526,20 +526,27 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         halves, so accepted t values are bit-identical whichever runs.
         ``sph_fn`` defers the sphere-mask load to the mixed branch only.
         The ONE shared implementation serves both the per-cluster visit
-        (cluster_teff) and the grouped window — edit once."""
+        (cluster_teff) and the grouped window — edit once.
+
+        ``valid`` (and ``sph_fn``'s result) may be rank-1 ``(width,)``
+        (per-slot path) or rank-2 ``(1, width)`` — the grouped window
+        builds its masks by rank-2 lane-dim concat because Mosaic rejects
+        rank-1 tpu.concatenate past the first 128-lane tile."""
+        vrow = (valid if valid.ndim == 2 else valid[None, :]) != 0
+
         def t_mixed():
             return tensor_sweep._epilogue(B, C0, D, E, a, sph_fn() != 0,
-                                          valid != 0, t_min, t_max)
+                                          vrow, t_min, t_max)
 
         def t_sph_only():
             t_s, hit = tensor_sweep._epilogue_sphere(B, C0, a[:, None],
                                                      t_min, t_max)
-            return jnp.where(hit & (valid != 0)[None, :], t_s, BIG)
+            return jnp.where(hit & vrow, t_s, BIG)
 
         def t_tri_only():
             t_t, hit = tensor_sweep._epilogue_tri(B, C0, D, E, t_min,
                                                   t_max)
-            return jnp.where(hit & (valid != 0)[None, :], t_t, BIG)
+            return jnp.where(hit & vrow, t_t, BIG)
 
         return jax.lax.switch(wt, [t_mixed, t_sph_only, t_tri_only])
 
@@ -645,10 +652,13 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             WK = wide * K
             live = [ents_at(wide * p + w) < BIG * 0.5
                     for w in range(wide)]
+            # rank-2 (1, K) pieces on the lane dim: rank-1 concat past the
+            # first tile is an unimplemented tpu.concatenate (measured on
+            # the axon Mosaic backend at W=4)
             valid_all = jnp.concatenate(
                 [jnp.where(live[w],
-                           valid_ref[pl.ds(cs[w], 1), :, :][0, 0], 0)
-                 for w in range(wide)])               # (W*K,)
+                           valid_ref[pl.ds(cs[w], 1), :, :][0], 0)
+                 for w in range(wide)], axis=1)       # (1, W*K)
             B, C0 = S[:, 0:WK], S[:, WK:2 * WK]
             D, E = S[:, 2 * WK:3 * WK], S[:, 3 * WK:4 * WK]
             nlive = live[0].astype(jnp.int32)
@@ -665,8 +675,8 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             t_win = _teff_by_type(
                 wt, B, C0, D, E, valid_all,
                 lambda: jnp.concatenate(
-                    [sph_ref[pl.ds(cs[w], 1), :, :][0, 0]
-                     for w in range(wide)]))
+                    [sph_ref[pl.ds(cs[w], 1), :, :][0]
+                     for w in range(wide)], axis=1))  # (1, W*K)
         else:
             ts = []
             for w, c in enumerate(cs):

@@ -276,12 +276,18 @@ def _epilogue(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):
     t_sph, hit_sph = _epilogue_sphere(B, C0, a[:, None], t_min, t_max)
     t_tri, hit_tri = _epilogue_tri(B, C0, P2, P3, t_min, t_max)
 
+    # Masks arrive as (tile,) from the XLA scan / per-slot march, or as
+    # (1, tile) from the grouped-window march, where concatenating W
+    # rank-1 (K,) blocks is a Mosaic "tpu.concatenate outside the first
+    # tile" compile error — rank-2 lane-dim concat is the supported form.
+    v = valid_row if valid_row.ndim == 2 else valid_row[None, :]
+    s = is_sphere if is_sphere.ndim == 2 else is_sphere[None, :]
     # Select between the two primitive families on *floats* only — a
     # where() with bool branches lowers to an i1-vector select that Mosaic
     # rejects ("unsupported target bitwidth for truncation").
-    t_sph_eff = jnp.where(hit_sph & valid_row[None, :], t_sph, BIG)
-    t_tri_eff = jnp.where(hit_tri & valid_row[None, :], t_tri, BIG)
-    return jnp.where(is_sphere[None, :], t_sph_eff, t_tri_eff)
+    t_sph_eff = jnp.where(hit_sph & v, t_sph, BIG)
+    t_tri_eff = jnp.where(hit_tri & v, t_tri, BIG)
+    return jnp.where(s, t_sph_eff, t_tri_eff)
 
 
 def _epilogue_T(B, C0, P2, P3, a, is_sphere, valid_row, t_min, t_max):

@@ -21,6 +21,10 @@ not scene size. Use it for sizes beyond ~65k:
 
 Run on the real chip: python tools/bench_prim_scaling.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 

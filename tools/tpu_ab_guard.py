@@ -9,6 +9,10 @@ steady-state times + image diffs vs the first variant.
     python tools/tpu_ab_guard.py --sweep-modes highest,bf16x3
     python tools/tpu_ab_guard.py --chunks 57600,115200
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -3,6 +3,10 @@
 Run on the tunnel chip (background it; first compile is minutes):
     python tools/tpu_cluster_check.py [--scene bunny] [--chunk 57600]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -9,6 +9,10 @@ One process (same chip state), three jitted programs:
 incl. its sort/cull/residual. The gap between the marginal bounce and the
 query is shading + RNG + carry traffic.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -19,6 +19,10 @@ attributes per-bounce cost by subtraction:
 
 Images are wrong under every knockout except full — timing only.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -5,6 +5,10 @@ Isolates whether an on-chip divergence comes from the march kernel itself
 
     python tools/tpu_march_debug.py [--force-mixed] [--rows]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 import numpy as np

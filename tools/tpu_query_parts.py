@@ -12,6 +12,10 @@ each timed as a fori_loop(N) inside one jit at steady state:
   kernel      the march pallas_call with precomputed inputs
   full        cluster_march(with_rows, extras) end to end
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
