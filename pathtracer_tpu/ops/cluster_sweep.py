@@ -1143,10 +1143,20 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
             (any_spec if with_rows
              else blk((1, 48, K), (0, 0, 0))),        # rows
         ]
-        operands = [ids, ents] + operands + [
+        # Device Mosaic requires per-row DMA slices to be whole 128-lane
+        # tiles ("Slice shape along dimension 1 must be aligned to tiling
+        # (128)"), so pad the order tables' minor dim up to 128: extra ids
+        # are 0 (the harmless sentinel-refetch pattern) and extra entries
+        # +BIG (never marched — the cond stops at the first +BIG slot).
+        M_pad = -(-(M + n_sent) // 128) * 128
+        extra = M_pad - (M + n_sent)
+        ids_st = jnp.concatenate(
+            [ids, jnp.zeros((n_chunks, extra), jnp.int32)], axis=1)
+        ents_st = jnp.concatenate(
+            [ents, jnp.full((n_chunks, extra), BIG, jnp.float32)], axis=1)
+        operands = [ids_st, ents_st] + operands + [
             cols_in, ct.is_sphere, ct.valid_row,
             ct.rows if with_rows else ct.rows[:1]]
-        M_pad = M + n_sent
         scratch_shapes = [
             pltpu.SMEM((M_pad,), jnp.int32),          # ids_s
             pltpu.SMEM((M_pad,), jnp.float32),        # ents_s
