@@ -1096,6 +1096,20 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         cols_base = ct.cols
     cols_in = (tensor_sweep.expand6_rhs(cols_base, axis=1) if fused6
                else cols_base)
+    if stream and feat_in % 8:
+        # Device Mosaic DMA slices need 8-aligned sublane extents ("Slice
+        # shape along dimension 1 must be aligned to tiling (8), but is
+        # 12") — pad the cols FEAT dim 12 -> 16 with zero rows and phi's
+        # contraction dim to match: the extra sweep-matmul terms are
+        # 0 * 0, so results are exact. (fused6 is excluded from stream.)
+        feat_st = -(-feat_in // 8) * 8
+        cols_in = jnp.concatenate(
+            [cols_in, jnp.zeros((cols_in.shape[0], feat_st - feat_in,
+                                 cols_in.shape[2]), cols_in.dtype)], axis=1)
+        phi_in = jnp.concatenate(
+            [phi_in, jnp.zeros((phi_in.shape[0], feat_st - feat_in),
+                               phi_in.dtype)], axis=1)
+        feat_in = feat_st
 
     def blk(shape, index=None):
         if index is None:
@@ -1161,7 +1175,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
             pltpu.SMEM((M_pad,), jnp.int32),          # ids_s
             pltpu.SMEM((M_pad,), jnp.float32),        # ents_s
             pltpu.SemaphoreType.DMA((2,)),            # tab_sem
-            pltpu.VMEM((2, wide, FEAT, OUTS * K), jnp.float32),
+            pltpu.VMEM((2, wide, feat_in, OUTS * K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),            # cols_sem
         ]
         if with_rows:
