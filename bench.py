@@ -92,8 +92,9 @@ def main() -> int:
     p.add_argument("--spp", type=int, default=8)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--scene", default="bunny")
-    p.add_argument("--accel", default="cluster",
-                   choices=["cluster", "tensor", "pallas", "bvh", "brute"])
+    p.add_argument("--accel", default="auto",
+                   choices=["auto", "cluster", "tensor", "pallas", "bvh",
+                            "brute"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--ray-chunk", type=int, default=57600)
     args = p.parse_args()
@@ -142,12 +143,13 @@ def main() -> int:
     rays = cfg.num_pixels * cfg.spp * cfg.max_depth
     mrays = rays / dt / 1e6
     executed = int(n_exec)
+    from pathtracer_tpu.config import resolve_accel
     rec = {
         "metric": f"{args.scene}_forward_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-        "accel": args.accel,
+        "accel": resolve_accel(args.accel, int(scene.num_prims)),
         "nominal_queries": rays,
         "executed_queries": executed,
         "executed_mrays_per_s": round(executed / dt / 1e6, 3),

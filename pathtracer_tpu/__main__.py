@@ -25,8 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp", type=int, default=100)
     p.add_argument("--max-depth", type=int, default=50)
     p.add_argument("--accel", default=None,
-                   choices=["cluster", "tensor", "pallas", "bvh", "brute"],
-                   help="acceleration structure (default tensor; with "
+                   choices=["auto", "cluster", "tensor", "pallas", "bvh",
+                            "brute"],
+                   help="acceleration structure (default auto: dense sweep"
+                        " below ~1k prims, cluster march above; with "
                         "--preset, overrides the preset's accel)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ray-chunk", type=int, default=None,
@@ -124,7 +126,7 @@ def main(argv=None) -> int:
                 sky = False  # lit by the area light
             cfg = RenderConfig(width=args.width, height=args.height,
                                spp=args.spp, max_depth=args.max_depth,
-                               accel=args.accel or "tensor", seed=args.seed,
+                               accel=args.accel or "auto", seed=args.seed,
                                ray_chunk=args.ray_chunk or 16384, sky=sky,
                                nee=args.nee or args.scene == "cornell",
                                terminate_black=args.terminate_black,

@@ -29,6 +29,26 @@ K_T_MIN = 1e-3        # shadow epsilon, main.cu:27
 # (a contact-shadow light leak at Cornell scale).
 K_SHADOW_T_MIN = 1e-7
 
+# accel="auto" crossover, in primitives. Measured on chip (round 3, bunny
+# bench shapes): the dense tensor sweep beats the cluster march on small
+# scenes (cornell ~20 prims: 18.2 vs 10.5 Mrays/s; RTIOW random ~490
+# prims: 15.1 vs 13.6) while the march wins >4x on bunny (4,971 prims:
+# 16.9 vs ~3.2) — O(R*N) dense cost crosses the march's fixed
+# cull+sort+launch overhead between ~500 and ~2000 prims (the synthetic
+# prim-scaling sweep brackets parity near ~1-2k; tools/
+# bench_prim_scaling.py). Near the boundary the two are within ~10% of
+# each other, so the exact value is not critical.
+K_AUTO_ACCEL_PRIMS = 1024
+
+
+def resolve_accel(accel: str, num_prims: int) -> str:
+    """Resolve accel="auto" to the measured-best structure for the scene
+    size: the dense MXU tensor sweep below K_AUTO_ACCEL_PRIMS primitives,
+    the morton-cluster march at or above it. Other values pass through."""
+    if accel != "auto":
+        return accel
+    return "cluster" if num_prims >= K_AUTO_ACCEL_PRIMS else "tensor"
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -74,15 +94,18 @@ class RenderConfig:
     # to the physically-correct black termination.
     terminate_black: bool = False
 
-    # Acceleration structure: "cluster" (morton-cluster culling + ray
-    # binning by sort + windowed Pallas sweeps — ops/cluster_sweep.py, the
-    # sub-linear production path), "tensor" (dense MXU matmul sweep —
-    # ops/tensor_sweep.py), "pallas" (the dense sweep fused into one Pallas
-    # kernel — ops/pallas_sweep.py), "bvh" (LBVH threaded traversal,
-    # correctness cross-check only — ~0.02 Mrays/s on TPU, docs/DESIGN.md),
-    # or "brute" (linear scan over primitives — the reference's own
-    # fallback, render_manager.h:71-84).
-    accel: str = "tensor"
+    # Acceleration structure: "auto" (the production default — resolves by
+    # scene size via resolve_accel: dense sweep below K_AUTO_ACCEL_PRIMS,
+    # cluster march above; both measured-best on chip for their regime),
+    # "cluster" (morton-cluster culling + ray binning by sort + windowed
+    # Pallas sweeps — ops/cluster_sweep.py, the sub-linear large-scene
+    # path), "tensor" (dense MXU matmul sweep — ops/tensor_sweep.py),
+    # "pallas" (the dense sweep fused into one Pallas kernel —
+    # ops/pallas_sweep.py), "bvh" (LBVH threaded traversal, correctness
+    # cross-check only — ~0.02 Mrays/s on TPU, docs/DESIGN.md), or "brute"
+    # (linear scan over primitives — the reference's own fallback,
+    # render_manager.h:71-84).
+    accel: str = "auto"
 
     # Wavefront execution shape: rays are processed in fixed-size chunks so
     # the HBM working-set stays bounded (samples accumulate in host-level
@@ -99,7 +122,8 @@ class RenderConfig:
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
             raise ValueError("frame size must be positive")
-        if self.accel not in ("cluster", "tensor", "pallas", "bvh", "brute"):
+        if self.accel not in ("auto", "cluster", "tensor", "pallas", "bvh",
+                              "brute"):
             raise ValueError(f"unknown accel {self.accel!r}")
 
     @property

@@ -71,12 +71,12 @@ def get_preset(name: str):
         scene, cam = cornell_box(variant="spheres")
         return scene, cam, RenderConfig(
             width=256, height=256, spp=16, max_depth=2, sky=False,
-            nee=True, stratify=True, accel="tensor", scene="cornell")
+            nee=True, stratify=True, accel="auto", scene="cornell")
     if name == "cornell-full":
         scene, cam = cornell_box(variant="full")
         return scene, cam, RenderConfig(
             width=256, height=256, spp=64, max_depth=4, sky=False,
-            nee=True, stratify=True, accel="tensor", scene="cornell")
+            nee=True, stratify=True, accel="auto", scene="cornell")
     if name == "cornell-diff":
         scene, cam = cornell_box(variant="spheres")
         return scene, cam, RenderConfig(
@@ -86,12 +86,12 @@ def get_preset(name: str):
         scene, cam = get_world("bunny")
         return scene, cam, RenderConfig(
             width=800, height=450, spp=128, max_depth=4,
-            stratify=True, accel="tensor", scene="bunny")
+            stratify=True, accel="auto", scene="bunny")
     if name == "combined-1080p":
         scene, cam = combined_scene()
         return scene, cam, RenderConfig(
             width=1920, height=1080, spp=512, max_depth=4, sky=False,
-            nee=True, stratify=True, accel="tensor", ray_chunk=129600,
+            nee=True, stratify=True, accel="auto", ray_chunk=129600,
             scene="combined")
     raise ValueError(
         f"unknown preset {name!r}; available: cornell-direct / cornell-full "

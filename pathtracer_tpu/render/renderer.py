@@ -46,6 +46,7 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
     accel="cluster" additionally *reorders the scene* (morton clustering,
     ops/clusters.py) and returns (closest, reordered_scene) — callers shade
     with the returned scene so hit indices stay consistent."""
+    accel = config_mod.resolve_accel(accel, scene.num_prims)
     if accel == "cluster":
         import os
         from pathtracer_tpu.ops.cluster_sweep import (

@@ -58,3 +58,44 @@ def test_cli_preset_accel_override(tmp_path):
     # default accel stays None so presets keep their own unless overridden
     args2 = build_parser().parse_args(["--preset", "cornell-direct"])
     assert args2.accel is None
+
+
+def test_auto_accel_policy():
+    """accel="auto" (the production default) resolves by scene size: the
+    dense tensor sweep below K_AUTO_ACCEL_PRIMS (small scenes measured
+    faster dense on chip: cornell 18.2 vs 10.5 Mrays/s, random 15.1 vs
+    13.6), the cluster march at or above it (bunny 16.9 vs ~3.2)."""
+    from pathtracer_tpu.config import (K_AUTO_ACCEL_PRIMS, RenderConfig,
+                                       resolve_accel)
+
+    assert RenderConfig().accel == "auto"
+    assert resolve_accel("auto", K_AUTO_ACCEL_PRIMS - 1) == "tensor"
+    assert resolve_accel("auto", K_AUTO_ACCEL_PRIMS) == "cluster"
+    # explicit choices pass through untouched
+    for a in ("cluster", "tensor", "pallas", "bvh", "brute"):
+        assert resolve_accel(a, 10) == a
+    # the flagship scenes land on their measured-best structure
+    from pathtracer_tpu.scene.worlds import get_world
+    bunny, _ = get_world("bunny")
+    assert resolve_accel("auto", bunny.num_prims) == "cluster"
+    from pathtracer_tpu.scene.cornell import cornell_box
+    cb, _ = cornell_box(variant="spheres")
+    assert resolve_accel("auto", cb.num_prims) == "tensor"
+
+
+def test_auto_accel_renders_and_matches_explicit():
+    """A small render under accel="auto" is bit-identical to the explicit
+    accel it resolves to (the policy only dispatches, never changes the
+    query)."""
+    import numpy as np
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.render.renderer import render_image
+    from pathtracer_tpu.scene.worlds import get_world
+
+    scene, cam = get_world("test")
+    base = dict(width=32, height=18, spp=2, max_depth=3, ray_chunk=576)
+    auto = np.asarray(render_image(scene, cam,
+                                   RenderConfig(accel="auto", **base)))
+    expl = np.asarray(render_image(scene, cam,
+                                   RenderConfig(accel="tensor", **base)))
+    np.testing.assert_array_equal(auto, expl)

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-3 wave-2 chip queue: combos the wave-1 podium (w8_grp 19.12,
+# k128_w4_split 16.88, k256 16.26) points at but queue2 doesn't cover —
+# W=16 via the streamed tables (the resident W=16 scoped-VMEM OOM does
+# not apply: only W double-buffered blocks live in VMEM), K=256 x W=8
+# (halves window count at fixed lanes), W=8 + hash RNG, and launch-count
+# amortization via big streamed chunks. All pre-flight lowering-checked
+# (tools/tpu_lowering_check.py).
+set -u
+LOG=/tmp/chip_queue.log
+cd /root/repo
+export PT_BENCH_NO_PROBE=1
+echo "=== chip queue3 start $(date)" >> $LOG
+
+probe() {
+  timeout 240 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+d = jax.devices()
+assert "cpu" not in str(d[0]).lower(), d
+x = jnp.ones((8, 128))
+(x @ x.T).sum().block_until_ready()
+EOF
+}
+
+run() {
+  name=$1; to=$2; shift 2
+  for i in $(seq 1 12); do
+    probe && break
+    echo "... tunnel lost before $name, probe $i failed $(date +%H:%M:%S)" >> $LOG
+    sleep 120
+  done
+  echo "--- $name $(date +%H:%M:%S)" >> $LOG
+  timeout "$to" "$@" 2>&1 | grep -v -i warning | tail -12 >> $LOG
+}
+
+run w8_grp_hash 1800 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_RNG_HASH=1 python bench.py
+run stream_w16_grp 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
+run k256_w8_grp 2400 env PT_CLUSTER_K=256 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py
+run k256_stream_w16 2400 env PT_CLUSTER_K=256 PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
+run stream_w8_461k 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 460800
+run w8_grp_pipe 2400 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_CLUSTER_PIPE=1 python bench.py
+
+echo "=== chip queue3 done $(date)" >> $LOG

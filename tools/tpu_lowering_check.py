@@ -31,7 +31,8 @@ def main():
     scene, _ = get_world("bunny")
     cts = {128: build_cluster_tables(scene),
            64: build_cluster_tables(scene, K=64),
-           32: build_cluster_tables(scene, K=32)}
+           32: build_cluster_tables(scene, K=32),
+           256: build_cluster_tables(scene, K=256)}
     R = 256
     o = jnp.tile(jnp.array([[0.0, 1.5, 6.0]]), (R, 1))
     d = jax.random.normal(jax.random.PRNGKey(1), (R, 3))
@@ -62,6 +63,21 @@ def main():
          dict(with_rows=True, extras=extras)),
         ("w4grp_rows_extras", 128,
          dict(PT_CLUSTER_WIDE="4", PT_CLUSTER_GROUPED="1"),
+         dict(with_rows=True, extras=extras)),
+        # round-3 wave 2: W=16 dodges the resident scoped-VMEM OOM via the
+        # streamed tables; K=256 halves window count at fixed wide*K lanes
+        ("stream_w16_grp", 128,
+         dict(PT_CLUSTER_STREAM="1", PT_CLUSTER_WIDE="16",
+              PT_CLUSTER_GROUPED="1"), {}),
+        ("k256_w8_grp", 256,
+         dict(PT_CLUSTER_K="256", PT_CLUSTER_WIDE="8",
+              PT_CLUSTER_GROUPED="1"), {}),
+        ("k256_stream_w8_grp", 256,
+         dict(PT_CLUSTER_K="256", PT_CLUSTER_STREAM="1",
+              PT_CLUSTER_WIDE="8", PT_CLUSTER_GROUPED="1"), {}),
+        ("stream_w8_rows_extras", 128,
+         dict(PT_CLUSTER_STREAM="1", PT_CLUSTER_WIDE="8",
+              PT_CLUSTER_GROUPED="1"),
          dict(with_rows=True, extras=extras)),
     ]
     failed = 0
