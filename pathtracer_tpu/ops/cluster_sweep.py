@@ -432,11 +432,17 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         cp_i.wait()
         cp_e.wait()
 
+        # order tables are rank-3 (n_chunks, M_pad//128, 128): slicing a
+        # ROW of a rank-2 (n_chunks, M_pad) table is a dynamic size-1
+        # slice of the sublane dim, which device Mosaic rejects once
+        # M_pad spans >1 lane tile ("Slice shape along dimension 0 must
+        # be aligned to tiling (8)"); a leading UNtiled dim makes the
+        # per-chunk DMA a whole tiled block (the cols-table pattern)
         def ids_at(j):
-            return ids_s[j]
+            return ids_s[j // 128, j % 128]
 
         def ents_at(j):
-            return ents_s[j]
+            return ents_s[j // 128, j % 128]
 
         def issue_window(p):
             """Start the async fetch of window p's W cluster blocks into
@@ -1162,18 +1168,27 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # (128)"), so pad the order tables' minor dim up to 128: extra ids
         # are 0 (the harmless sentinel-refetch pattern) and extra entries
         # +BIG (never marched — the cond stops at the first +BIG slot).
+        # The tables are then shaped rank-3 (n_chunks, M_pad//128, 128):
+        # a rank-2 (n_chunks, M_pad) row slice is a dynamic size-1 slice
+        # of the SUBLANE dim, which device Mosaic rejects once M_pad
+        # spans more than one lane tile ("Slice shape along dimension 0
+        # must be aligned to tiling (8)" — hit at C_reg >= 129, e.g. the
+        # 20k-prim scaling scenes); with an untiled leading dim the
+        # per-chunk DMA is a whole tiled block (the cols-table pattern).
         M_pad = -(-(M + n_sent) // 128) * 128
         extra = M_pad - (M + n_sent)
         ids_st = jnp.concatenate(
-            [ids, jnp.zeros((n_chunks, extra), jnp.int32)], axis=1)
+            [ids, jnp.zeros((n_chunks, extra), jnp.int32)],
+            axis=1).reshape(n_chunks, M_pad // 128, 128)
         ents_st = jnp.concatenate(
-            [ents, jnp.full((n_chunks, extra), BIG, jnp.float32)], axis=1)
+            [ents, jnp.full((n_chunks, extra), BIG, jnp.float32)],
+            axis=1).reshape(n_chunks, M_pad // 128, 128)
         operands = [ids_st, ents_st] + operands + [
             cols_in, ct.is_sphere, ct.valid_row,
             ct.rows if with_rows else ct.rows[:1]]
         scratch_shapes = [
-            pltpu.SMEM((M_pad,), jnp.int32),          # ids_s
-            pltpu.SMEM((M_pad,), jnp.float32),        # ents_s
+            pltpu.SMEM((M_pad // 128, 128), jnp.int32),   # ids_s
+            pltpu.SMEM((M_pad // 128, 128), jnp.float32),  # ents_s
             pltpu.SemaphoreType.DMA((2,)),            # tab_sem
             pltpu.VMEM((2, wide, feat_in, OUTS * K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),            # cols_sem
@@ -1229,10 +1244,24 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         rows_k = jnp.zeros((n_chunks if with_rows else 1, 16, ray_tile),
                            jnp.float32)
     else:
+        # PT_CLUSTER_PARSEM=1: declare the chunk grid dim "parallel"
+        # (chunks are independent — distinct output blocks, no cross-step
+        # carry), which lets Mosaic double-buffer per-step block DMAs
+        # across grid steps instead of serializing them. The measured
+        # per-grid-step overhead (~1.5 us x n_chunks x launches ~ 94 ms
+        # per bench render, tools/tpu_knockout.py) is the target. The
+        # kernel body still runs steps in order on the core, so the
+        # streamed march's manual DMA semaphores (drained at each chunk's
+        # end) stay correct. On-chip A/B knob.
+        params = None
+        if _os.environ.get("PT_CLUSTER_PARSEM") == "1":
+            params = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
         t_best, best, rows_k = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
+            compiler_params=params,
             interpret=jax.default_backend() != "tpu",
         )(*prefetch, *operands)
     t_best = t_best.reshape(-1)

@@ -33,11 +33,22 @@ run() {
   timeout "$to" "$@" 2>&1 | grep -v -i warning | tail -12 >> $LOG
 }
 
+# re-runs: queue2's scaling entries imported pre-fix code and hit the
+# rank-2 order-table multi-tile DMA wall at C_reg >= 129 (fixed: rank-3
+# (n_chunks, M_pad//128, 128) tables, untiled leading dim)
+run scaling_stream 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 5000,20000,45000,100000,200000
+run scaling_bunny 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 0,1,2,3
 run w8_grp_hash 1800 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_RNG_HASH=1 python bench.py
 run stream_w16_grp 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
 run k256_w8_grp 2400 env PT_CLUSTER_K=256 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py
 run k256_stream_w16 2400 env PT_CLUSTER_K=256 PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
 run stream_w8_461k 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 460800
 run w8_grp_pipe 2400 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_CLUSTER_PIPE=1 python bench.py
+# parallel grid-dim semantics (Mosaic double-buffers per-step block DMAs;
+# targets the ~94 ms grid-step share) — same-process A/B with image diff
+run parsem_ab 3600 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python tools/tpu_ab_guard.py --envs ",PT_CLUSTER_PARSEM=1"
+# tile 256 re-test at W=8 (halves grid steps; the W=2 loss may flip now
+# that window epilogues are amortized over wide lanes)
+run w8_tile256 2400 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_CLUSTER_RAY_TILE=256 python bench.py
 
 echo "=== chip queue3 done $(date)" >> $LOG

@@ -27,6 +27,13 @@ def main():
     p.add_argument("--chunks", default=None,
                    help="A/B cfg.ray_chunk values instead (e.g. "
                         "57600,115200); overrides --combos")
+    p.add_argument("--envs", default=None,
+                   help="A/B PT_* env variants instead: comma-separated "
+                        "variants, each a ;-separated KEY=VAL list "
+                        "(empty variant = baseline env), e.g. "
+                        "',PT_CLUSTER_PARSEM=1' — the renderer cache key "
+                        "includes PT_* so each variant re-traces; "
+                        "overrides --combos")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--spp", type=int, default=8)
@@ -47,7 +54,10 @@ def main():
     orig = cluster_sweep.cluster_march
     import numpy as np
     imgs = {}
-    if args.sweep_modes:
+    if args.envs is not None:
+        variants = [("env[" + v + "]", {"env": v})
+                    for v in args.envs.split(",")]
+    elif args.sweep_modes:
         variants = [("mode=" + m, {"sweep_mode": m})
                     for m in args.sweep_modes.split(",")]
     elif args.chunks:
@@ -57,7 +67,23 @@ def main():
         variants = [(f"guard={c[0]} key2={c[1]}",
                      {"guard": c[0] == "1", "key2": c[1] == "1"})
                     for c in args.combos.split(",")]
+    env_keys = {kv.split("=", 1)[0]
+                for _, v in variants if "env" in v
+                for kv in v["env"].split(";") if kv}
+    env_saved = {k: os.environ.get(k) for k in env_keys}
     for name, v in variants:
+        if "env" in v:
+            # reset this axis's keys to the baseline, then apply the
+            # variant's assignments (the renderer cache key covers PT_*)
+            for k, old in env_saved.items():
+                if old is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = old
+            for kv in v["env"].split(";"):
+                if kv:
+                    k, val = kv.split("=", 1)
+                    os.environ[k] = val
         if "guard" in v:
             def patched(*a, _g=v["guard"], _k=v["key2"], **kw):
                 kw["guard"] = _g
