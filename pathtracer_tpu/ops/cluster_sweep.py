@@ -856,9 +856,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     fused6 = _os.environ.get("PT_SWEEP_FUSED6", "0") == "1"
     # wide visits: W clusters per march iteration, ONE sweep matmul + ONE
     # rows extraction per window (bit-identical; see _march_kernel).
-    # Measured on chip: W=2 9.19 -> 12.87 Mrays/s (+40%) on the bunny
-    # bench. The guard path keeps the 1-wide body (guard is default-off).
-    wide = int(_os.environ.get("PT_CLUSTER_WIDE", "2"))
+    # Measured on chip (bunny bench): W=2 per-slot 12.87, W=4 grouped
+    # 16.74, W=8 grouped 19.12/19.00 Mrays/s (round-3 queue) — W=8
+    # grouped is the production default. W*K lanes above 1024 abort at
+    # the 16 MB scoped-VMEM budget (W=16 resident and W=8 x K=256 both
+    # hit ~18.5M); PT_CLUSTER_VMEM_MB raises the budget for experiments.
+    # The guard path keeps the 1-wide body (guard is default-off).
+    wide = int(_os.environ.get("PT_CLUSTER_WIDE", "8"))
     if guard:
         wide = 1
     # software-pipelined march (wide > 1 only): the carry holds the next
@@ -868,8 +872,11 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # by output type at load time so ONE epilogue instantiation covers the
     # whole window — kernel code size (and Mosaic compile time) becomes
     # independent of W, unlocking W >= 4 (the per-slot body's 3W epilogue
-    # instantiations hit a >10-min compile wall at W=4; docs/DESIGN.md)
-    grouped = (_os.environ.get("PT_CLUSTER_GROUPED", "0") == "1"
+    # instantiations hit a >10-min compile wall at W=4; docs/DESIGN.md).
+    # Default-on: required by the default W=8 (bit-identical to per-slot
+    # at every W — test_cluster), and neutral at W=2 (12.872 vs 12.87
+    # measured).
+    grouped = (_os.environ.get("PT_CLUSTER_GROUPED", "1") == "1"
                and wide > 1)
     # split-table windows (grouped only): the cols table is re-laid out
     # type-major as (OUTS*C_tot, FEAT, K) so each window part is a whole
@@ -1253,10 +1260,18 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # kernel body still runs steps in order on the core, so the
         # streamed march's manual DMA semaphores (drained at each chunk's
         # end) stay correct. On-chip A/B knob.
-        params = None
+        # PT_CLUSTER_VMEM_MB=N: raise Mosaic's scoped-VMEM budget above
+        # the 16 MB default — 2048-lane windows (W=8 x K=256, W=16 x
+        # K=128) abort at "scoped allocation 18.5M > 16.00M"; whether the
+        # physical VMEM has headroom above the default budget is a chip
+        # experiment (the knob makes it runnable).
+        params = {}
         if _os.environ.get("PT_CLUSTER_PARSEM") == "1":
-            params = pltpu.CompilerParams(
-                dimension_semantics=("parallel",))
+            params["dimension_semantics"] = ("parallel",)
+        vmem_mb = int(_os.environ.get("PT_CLUSTER_VMEM_MB", "0"))
+        if vmem_mb:
+            params["vmem_limit_bytes"] = vmem_mb * 1024 * 1024
+        params = pltpu.CompilerParams(**params) if params else None
         t_best, best, rows_k = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

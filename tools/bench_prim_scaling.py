@@ -51,6 +51,12 @@ def main():
                     f"{max(levels)}; level 6 is already 20M prims)")
 
     import jax
+    if os.environ.get("PT_FORCE_CPU") == "1":
+        # CPU smoke runs (the axon sitecustomize overrides JAX_PLATFORMS,
+        # so the config-level update is the only reliable off-switch —
+        # CLAUDE.md); never point this tool at the chip accidentally
+        # while a measurement queue holds it
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -121,11 +127,30 @@ def main():
     jax.block_until_ready(trivial(jnp.ones(128)))
     dispatch = time.perf_counter() - t0
 
-    def timed(f):
-        run = jax.jit(f)
-        jax.block_until_ready(run(org, dirs))
+    def timed(f, tabs):
+        # table ARRAYS ride as jit arguments, not closed-over constants:
+        # embedding a big scene's tables in the module (~60 MB of cols at
+        # 318k prims) made the axon remote compile exceed 40 min; as
+        # parameters the module stays small and compile time stops
+        # scaling with scene size. Non-array leaves (SweepTables carries
+        # plain-int tile/num_prims) must stay STATIC — slicing with a
+        # traced int is an error — so partition: arrays as args, the
+        # rest re-attached inside the trace.
+        leaves, treedef = jax.tree_util.tree_flatten(tabs)
+        arr_idx = [i for i, l in enumerate(leaves)
+                   if hasattr(l, "shape") and hasattr(l, "dtype")]
+
+        def wrapped(arrs, o, d):
+            ls = list(leaves)
+            for j, i in enumerate(arr_idx):
+                ls[i] = arrs[j]
+            return f(jax.tree_util.tree_unflatten(treedef, ls), o, d)
+
+        arrs = [leaves[i] for i in arr_idx]
+        run = jax.jit(wrapped)
+        jax.block_until_ready(run(arrs, org, dirs))
         t0 = time.perf_counter()
-        jax.block_until_ready(run(org, dirs))
+        jax.block_until_ready(run(arrs, org, dirs))
         return max(0.0, time.perf_counter() - t0 - dispatch) / n_it
 
     for n in (int(s) for s in args.sizes.split(",")):
@@ -138,18 +163,18 @@ def main():
         ct = build_cluster_tables(scene)
         tables = tensor_sweep.pack_sweep_tables(scene)
 
-        def march(o, d):
+        def march(tabs, o, d):
             def step(i, acc):
                 oo = o + acc * 1e-30
-                _, t, v = cluster_march(ct, oo, d, 1e-3)
+                _, t, v = cluster_march(tabs, oo, d, 1e-3)
                 return acc + jnp.sum(jnp.minimum(t, 1.0)) * 1e-30 + 1.0
             return jax.lax.fori_loop(0, n_it, step, jnp.float32(0.0))
 
-        def dense(o, d):
+        def dense(tabs, o, d):
             def step(i, acc):
                 oo = o + acc * 1e-30
                 _, t, v = tensor_sweep.tensor_closest(
-                    tables, oo, d, jnp.float32(1e-3), intersect.BIG_T)
+                    tabs, oo, d, jnp.float32(1e-3), intersect.BIG_T)
                 return acc + jnp.sum(jnp.minimum(t, 1.0)) * 1e-30 + 1.0
             return jax.lax.fori_loop(0, n_it, step, jnp.float32(0.0))
 
@@ -158,8 +183,8 @@ def main():
         i2, t2, v2 = tensor_sweep.tensor_closest(
             tables, org, dirs, jnp.float32(1e-3), intersect.BIG_T)
         agree = float(jnp.mean((v1 == v2).astype(jnp.float32)))
-        m_ms = timed(march) * 1e3
-        d_ms = timed(dense) * 1e3
+        m_ms = timed(march, ct) * 1e3
+        d_ms = timed(dense, tables) * 1e3
         print(f"N={n:6d} C_reg={ct.C_reg:4d}: march {m_ms:7.2f} ms/query  "
               f"dense {d_ms:7.2f} ms/query  ratio {d_ms / max(m_ms, 1e-9):5.1f}x  "
               f"valid-agree {agree:.4f}", flush=True)

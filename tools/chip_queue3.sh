@@ -39,9 +39,12 @@ run() {
 run scaling_stream 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 5000,20000,45000,100000,200000
 run scaling_bunny 2400 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 0,1,2,3
 run w8_grp_hash 1800 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_RNG_HASH=1 python bench.py
-run stream_w16_grp 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
-run k256_w8_grp 2400 env PT_CLUSTER_K=256 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py
-run k256_stream_w16 2400 env PT_CLUSTER_K=256 PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
+# 2048-lane windows abort at the 16 MB scoped-VMEM default (queue2
+# k256_w8_split: 18.51M; resident W=16: 18.47M) — retry with the budget
+# raised to 32 MB (whether the chip has headroom is the experiment)
+run stream_w16_grp 2400 env PT_CLUSTER_VMEM_MB=32 PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
+run k256_w8_grp 2400 env PT_CLUSTER_VMEM_MB=32 PT_CLUSTER_K=256 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py
+run w16_grp_vmem32 2400 env PT_CLUSTER_VMEM_MB=32 PT_CLUSTER_WIDE=16 PT_CLUSTER_GROUPED=1 python bench.py
 run stream_w8_461k 2400 env PT_CLUSTER_STREAM=1 PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python bench.py --ray-chunk 460800
 run w8_grp_pipe 2400 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_CLUSTER_PIPE=1 python bench.py
 # parallel grid-dim semantics (Mosaic double-buffers per-step block DMAs;
@@ -50,5 +53,10 @@ run parsem_ab 3600 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python tools/tpu_a
 # tile 256 re-test at W=8 (halves grid steps; the W=2 loss may flip now
 # that window epilogues are amortized over wide lanes)
 run w8_tile256 2400 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 PT_CLUSTER_RAY_TILE=256 python bench.py
+# fresh whole-render attribution at the W=8 winner config (the 805 ms
+# knockout table predates every wide/grouped win; RNG A/Bs show the old
+# 72 ms RNG share was a cross-process outlier - re-attribute before
+# optimizing the wrong floor component)
+run knockout_w8 3600 env PT_CLUSTER_WIDE=8 PT_CLUSTER_GROUPED=1 python tools/tpu_knockout.py --variants full,gate-stub,kernel-stub,query-stub
 
 echo "=== chip queue3 done $(date)" >> $LOG
