@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-3 wave-3: confirm the flipped defaults on chip (a plain
+# `python bench.py` must hit the measured W=8-grouped number with NO env
+# overrides — this is the exact invocation the driver records as
+# BENCH_r03), plus the full-default cornell/random sanity rows under
+# accel=auto.
+set -u
+LOG=/tmp/chip_queue.log
+cd /root/repo
+export PT_BENCH_NO_PROBE=1
+echo "=== chip queue4 start $(date)" >> $LOG
+
+probe() {
+  timeout 240 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+d = jax.devices()
+assert "cpu" not in str(d[0]).lower(), d
+x = jnp.ones((8, 128))
+(x @ x.T).sum().block_until_ready()
+EOF
+}
+
+run() {
+  name=$1; to=$2; shift 2
+  for i in $(seq 1 12); do
+    probe && break
+    echo "... tunnel lost before $name, probe $i failed $(date +%H:%M:%S)" >> $LOG
+    sleep 120
+  done
+  echo "--- $name $(date +%H:%M:%S)" >> $LOG
+  timeout "$to" "$@" 2>&1 | grep -v -i warning | tail -12 >> $LOG
+}
+
+run default_bench 2400 python bench.py
+run default_cornell 1800 python bench.py --scene cornell
+run default_random 1800 python bench.py --scene random
+
+echo "=== chip queue4 done $(date)" >> $LOG
