@@ -120,10 +120,11 @@ def main() -> int:
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, accel=args.accel,
                        ray_chunk=args.ray_chunk, scene=args.scene,
-                       # mirror the CLI: cornell is emissive-lit (NEE, no
-                       # sky) — the realistic workload for that scene
-                       sky=args.scene != "cornell",
-                       nee=args.scene == "cornell")
+                       # mirror the CLI: cornell and the combined config-5
+                       # scene are emissive-lit (NEE, no sky) — the
+                       # realistic workload for those scenes
+                       sky=args.scene not in ("cornell", "combined"),
+                       nee=args.scene in ("cornell", "combined"))
     scene, cam = get_world(args.scene)
     bvh = None
     if args.accel == "bvh":

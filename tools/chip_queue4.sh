@@ -34,5 +34,15 @@ run() {
 run default_bench 2400 python bench.py
 run default_cornell 1800 python bench.py --scene cornell
 run default_random 1800 python bench.py --scene random
+# config-5 production scene at bench shapes (NEE, no sky, auto->cluster)
+run default_combined 2400 python bench.py --scene combined
+# sub-linearity sweep, one size per entry (each size pays ~10-20 min of
+# march+dense axon compile; the combined-sizes entries kept timing out
+# after two sizes)
+run scaling_45k 3000 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 45000
+run scaling_100k 3000 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 100000
+run scaling_200k 3600 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 200000
+run scaling_bunny_l2 3000 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 2
+run scaling_bunny_l3 3600 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 3
 
 echo "=== chip queue4 done $(date)" >> $LOG
