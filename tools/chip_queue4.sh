@@ -44,5 +44,7 @@ run scaling_100k 3000 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py
 run scaling_200k 3600 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --sizes 200000
 run scaling_bunny_l2 3000 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 2
 run scaling_bunny_l3 3600 env PT_CLUSTER_STREAM=1 python tools/bench_prim_scaling.py --bunny --sizes 3
+# flagship preset at the flipped defaults -> gallery artifact
+run bunny_preset 3600 python -m pathtracer_tpu --preset bunny -o docs/gallery/bunny_800x450_128spp_r3.png
 
 echo "=== chip queue4 done $(date)" >> $LOG
