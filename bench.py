@@ -71,8 +71,12 @@ def _emit_last_good(reason: str, log_path: str = BENCH_LOG) -> int:
             recs = [json.loads(ln) for ln in f if ln.strip()]
     except OSError:
         recs = []
-    # skip env-knobbed experiment lines (A/B runs, image-altering stubs)
-    recs = [r for r in recs if "env" not in r]
+    # skip env-knobbed experiment lines (A/B runs, image-altering stubs),
+    # lines the sanity gate flagged (e.g. the r3 44,632 Mrays/s async-timing
+    # artifact), and previously re-emitted stale lines
+    recs = [r for r in recs
+            if "env" not in r and not r.get("suspect")
+            and not r.get("stale")]
     if not recs:
         print(json.dumps({"metric": "bunny_forward_throughput",
                           "value": None, "unit": "Mrays/s",
@@ -135,15 +139,20 @@ def main() -> int:
     img, n_exec = render(scene, bvh, cam, 0)
     jax.block_until_ready(img)
 
-    t0 = time.perf_counter()
+    # Per-iteration block_until_ready: the r3 44,632 Mrays/s artifact came
+    # from timing only the final block on the async tunnel dispatch queue —
+    # each iteration must be synchronously retired before the clock stops.
+    dts = []
     for i in range(args.iters):
+        t0 = time.perf_counter()
         img, n_exec = render(scene, bvh, cam, i + 1)
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / args.iters
+        jax.block_until_ready((img, n_exec))
+        dts.append(time.perf_counter() - t0)
+    dt = sum(dts) / len(dts)
 
     rays = cfg.num_pixels * cfg.spp * cfg.max_depth
     mrays = rays / dt / 1e6
-    executed = int(n_exec)
+    n_closest, n_shadow = (int(v) for v in n_exec)
     from pathtracer_tpu.config import resolve_accel
     rec = {
         "metric": f"{args.scene}_forward_throughput",
@@ -152,9 +161,38 @@ def main() -> int:
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "accel": resolve_accel(args.accel, int(scene.num_prims)),
         "nominal_queries": rays,
-        "executed_queries": executed,
-        "executed_mrays_per_s": round(executed / dt / 1e6, 3),
+        # schema v2: executed_queries counts CLOSEST-HIT queries only (the
+        # same population as nominal_queries), shadow (NEE) queries are
+        # reported separately — executed_mrays_per_s can no longer exceed
+        # nominal by accounting choice. v1 lines (no "shadow_queries" key)
+        # folded both into executed_queries.
+        "schema": 2,
+        "executed_queries": n_closest,
+        "shadow_queries": n_shadow,
+        "executed_mrays_per_s": round(n_closest / dt / 1e6, 3),
     }
+    # Sanity gate: on a bimodal-latency tunnel an unexplained timing
+    # artifact must be rejected, not committed (VERDICT r3 weak #2). A rate
+    # wildly above every dated line for this metric — or above any rate the
+    # chip could physically produce — marks the record suspect:
+    # _emit_last_good skips it and it never becomes a round artifact.
+    best_known = 0.0
+    try:
+        with open(BENCH_LOG) as f:
+            for ln in f:
+                r = json.loads(ln)
+                if (r.get("metric", "").endswith("_forward_throughput")
+                        and not r.get("suspect") and not r.get("stale")
+                        and isinstance(r.get("value"), (int, float))):
+                    best_known = max(best_known, float(r["value"]))
+    except OSError:
+        pass
+    cap = max(10.0 * best_known, 2000.0)
+    if mrays > cap:
+        rec["suspect"] = True
+        rec["suspect_reason"] = (
+            f"{mrays:.0f} Mrays/s exceeds sanity cap {cap:.0f} "
+            f"(10x best known {best_known:.1f}); per-iter dts={dts}")
     print(json.dumps(rec))
     # Append every good live run (dated, with workload shape) to the
     # committed bench log so a snapshot-time outage can never erase the

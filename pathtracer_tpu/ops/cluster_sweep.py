@@ -370,7 +370,8 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
-                  wide, pipe, grouped, split=False, C_tot=0, stream=False):
+                  wide, pipe, grouped, split=False, C_tot=0, stream=False,
+                  knock="", fixwin=0):
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -584,6 +585,12 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
     # per lane).
     def cond_wide(state):
         p = state[0]
+        if fixwin:
+            # timing-decomposition mode (PT_CLUSTER_FIXWIN, images wrong):
+            # every chunk marches exactly fixwin windows so in-kernel
+            # knockouts (PT_CLUSTER_KNOCK) are comparable — the real stop
+            # rule would react to the knocked-out (garbage) t values
+            return p < fixwin
         t_acc = state[2] if pipe else state[1]
         return jnp.max(jnp.minimum(t_acc, gate)) > ents_at(wide * p)
 
@@ -611,6 +618,11 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             else:
                 blk = jnp.concatenate(blks, axis=1)
             return sweep(phi, blk)
+        if knock == "mmcat":
+            # knockout: no block gather/concat, no matmul — a lane-dim
+            # broadcast stands in for S (timing decomposition only)
+            return jnp.broadcast_to(phi[:, 0:1].astype(jnp.float32),
+                                    (n, wide * OUTS * K))
         cs = [ids_at(wide * p + w) for w in range(wide)]
         if split:
             # type-major table (OUTS*C_tot, FEAT, K): part k of cluster c
@@ -627,6 +639,11 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         else:
             blk = jnp.concatenate(
                 [cols_ref[pl.ds(c, 1), :, :][0] for c in cs], axis=1)
+        if knock == "mm":
+            # knockout: keep the block gather/concat (a VPU max reads
+            # every element so nothing dead-codes), skip only the matmul
+            keep = jnp.max(blk.astype(jnp.float32), axis=0, keepdims=True)
+            return phi[:, 0:1].astype(jnp.float32) * keep
         return sweep(phi, blk)
 
     def body_wide(state):
@@ -678,11 +695,16 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                            & (ctype_ref[cs[w]] == 1)).astype(jnp.int32)
             wt = jnp.where(tri_ct == nlive, 2,
                            jnp.where(sph_ct == nlive, 1, 0))
-            t_win = _teff_by_type(
-                wt, B, C0, D, E, valid_all,
-                lambda: jnp.concatenate(
-                    [sph_ref[pl.ds(cs[w], 1), :, :][0]
-                     for w in range(wide)], axis=1))  # (1, W*K)
+            if knock == "epi":
+                # knockout: skip the epilogue (matmul + masks stay live)
+                t_win = B + jnp.where(valid_all != 0, 0.0, BIG) \
+                    + wt.astype(jnp.float32)
+            else:
+                t_win = _teff_by_type(
+                    wt, B, C0, D, E, valid_all,
+                    lambda: jnp.concatenate(
+                        [sph_ref[pl.ds(cs[w], 1), :, :][0]
+                         for w in range(wide)], axis=1))  # (1, W*K)
         else:
             ts = []
             for w, c in enumerate(cs):
@@ -699,7 +721,11 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         for w in range(1, wide):
             glob = jnp.where(local_j >= w * K,
                              cs[w] * K + (local_j - w * K), glob)
-        if with_rows:
+        if with_rows and knock == "rows":
+            # knockout: skip the winner-rows extraction (one-hot + 48xWK
+            # matmul); keep local_j alive through glob above
+            pass
+        elif with_rows:
             oh_t = (jax.lax.broadcasted_iota(jnp.int32, (wide * K, n), 0)
                     == local_j[None, :]).astype(jnp.bfloat16)
             if stream:
@@ -1092,11 +1118,21 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     C_tot = ct.cols.shape[0]
     a3 = a.reshape(n_chunks, 1, ray_tile)
     gate3 = gate.reshape(n_chunks, 1, ray_tile)
+    # timing-decomposition knobs (tools/tpu_window_parts.py — images are
+    # WRONG under either): PT_CLUSTER_KNOCK skips one stage of the grouped
+    # window body (mm / mmcat / epi / rows); PT_CLUSTER_FIXWIN=N makes
+    # every chunk march exactly N windows so knocked variants stay
+    # comparable (the real stop rule would react to garbage t values)
+    knock = _os.environ.get("PT_CLUSTER_KNOCK", "")
+    fixwin = int(_os.environ.get("PT_CLUSTER_FIXWIN", "0"))
+    if fixwin:
+        fixwin = max(1, min(fixwin, M // max(wide, 1)))
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
                                guard=guard, fused6=fused6, wide=wide,
                                pipe=pipe, grouped=grouped, split=split,
-                               C_tot=C_tot, stream=stream)
+                               C_tot=C_tot, stream=stream, knock=knock,
+                               fixwin=fixwin)
     n_pref = 1 if stream else (4 if guard else 3)
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi
@@ -1266,7 +1302,11 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # physical VMEM has headroom above the default budget is a chip
         # experiment (the knob makes it runnable).
         params = {}
-        if _os.environ.get("PT_CLUSTER_PARSEM") == "1":
+        # PARSEM is gated off under stream: the streamed march shares one
+        # SMEM/VMEM scratch set across grid steps with manually managed DMA
+        # semaphores, and its correctness rests on in-order step execution —
+        # which "parallel" semantics do not guarantee (ADVICE r3).
+        if _os.environ.get("PT_CLUSTER_PARSEM") == "1" and not stream:
             params["dimension_semantics"] = ("parallel",)
         vmem_mb = int(_os.environ.get("PT_CLUSTER_VMEM_MB", "0"))
         if vmem_mb:

@@ -75,6 +75,7 @@ def _uniform_by_ray(k, rid, m: int):
         # Draws stay a pure function of ray id (sorted-wavefront
         # contract) — different stream, same estimator
         # (test_hash_rng_unbiased).
+        assert m <= 8, f"(rid << 3) | ctr is injective only for m <= 8, got {m}"
         kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
         kd = kd.reshape(-1)
         ctr = jnp.arange(m, dtype=jnp.uint32)[None, :]
@@ -150,11 +151,12 @@ def trace(scene: Scene,
           rr: bool = False,
           rr_depth: int = 3):
     """Trace a wavefront of rays to radiance. Returns (N, 3), or
-    ((N, 3), executed_queries) when ``with_stats`` — the number of
-    closest-hit queries that actually did work (dead-ray-aware accels skip
-    terminated lanes; others execute every lane each bounce), for honest
-    Mrays/s accounting in bench.py. int32: callers keep per-call workloads
-    under 2^31 queries (bench shapes are ~10^7).
+    ((N, 3), executed_queries) when ``with_stats`` — a (2,) int32 vector
+    [closest_hit_queries, shadow_queries] counting queries that actually did
+    work (dead-ray-aware accels skip terminated lanes; others execute every
+    lane each bounce), split so NEE shadow rays can never inflate the
+    closest-hit Mrays/s (bench schema v2). int32: callers keep per-call
+    workloads under 2^31 queries (bench shapes are ~10^7).
 
     ``closest_hit_fn(o, d) -> (prim_idx, t, valid)`` is the pluggable
     acceleration structure (tensor / Pallas / BVH / brute). Its discrete
@@ -232,9 +234,9 @@ def trace(scene: Scene,
          rid, n_exec) = carry
         bkey = jax.random.fold_in(key, depth)
 
-        n_exec = n_exec + (jnp.sum(alive, dtype=jnp.int32)
-                           if (handles_dead or sorted_mode)
-                           else jnp.int32(n_rays))
+        n_exec = n_exec.at[0].add(jnp.sum(alive, dtype=jnp.int32)
+                                  if (handles_dead or sorted_mode)
+                                  else jnp.int32(n_rays))
         # Visibility query on detached geometry (discrete winner index).
         if sorted_mode:
             # flags + ray id share one int32 sort payload (rid < 2^29)
@@ -332,8 +334,8 @@ def trace(scene: Scene,
             # direct light; only the continuation dies.
             take_direct = (active & ~sc.is_emissive
                            & (sc.is_diffuse | sc.is_glossy))
-            n_exec = n_exec + (jnp.sum(take_direct, dtype=jnp.int32)
-                               if handles_dead else jnp.int32(n_rays))
+            n_exec = n_exec.at[1].add(jnp.sum(take_direct, dtype=jnp.int32)
+                                      if handles_dead else jnp.int32(n_rays))
             direct, _ = lights_mod.direct_lighting(
                 scene, rec.p, rec.normal, sc.attenuation, closest_hit_fn,
                 u_nee, eps=t_min,
@@ -377,7 +379,7 @@ def trace(scene: Scene,
     pdf0 = jnp.zeros((n_rays,), jnp.float32)
     rid0 = jnp.arange(n_rays, dtype=jnp.int32)
     carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0, spec0,
-              pdf0, rid0, jnp.zeros((), jnp.int32))
+              pdf0, rid0, jnp.zeros((2,), jnp.int32))
 
     if differentiable:
         (o, d, atten, alive, absorbed, emitted_acc, _, _, rid, n_exec), _ \

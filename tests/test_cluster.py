@@ -299,11 +299,17 @@ def test_march_wide_variants_bit_identical(monkeypatch):
     scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=3)
     ct = build_cluster_tables(scene)
     ref = None
+    # Every variant pins GROUPED explicitly: since the default flipped to
+    # grouped windows, bare WIDE=N would silently exercise the grouped body
+    # and the per-slot W>1 march would lose its bit-identity coverage
+    # (ADVICE r3). GROUPED=0 rows are the per-slot path; GROUPED=1 the
+    # production grouped windows.
     for env in ({"PT_CLUSTER_WIDE": "1"},
-                {"PT_CLUSTER_WIDE": "2"},
-                {"PT_CLUSTER_WIDE": "3"},
-                {"PT_CLUSTER_WIDE": "4"},
-                {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_PIPE": "1"},
+                {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_GROUPED": "0"},
+                {"PT_CLUSTER_WIDE": "3", "PT_CLUSTER_GROUPED": "0"},
+                {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "0"},
+                {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_PIPE": "1",
+                 "PT_CLUSTER_GROUPED": "0"},
                 {"PT_CLUSTER_WIDE": "2", "PT_CLUSTER_GROUPED": "1"},
                 {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "1"},
                 {"PT_CLUSTER_WIDE": "8", "PT_CLUSTER_GROUPED": "1"},
@@ -325,6 +331,12 @@ def test_march_wide_variants_bit_identical(monkeypatch):
         kw = {}
         if "_RAY_TILE" in env:
             kw["ray_tile"] = int(env.pop("_RAY_TILE"))
+        # reset every knob between variants: monkeypatch.setenv persists for
+        # the whole test, so without this a variant would inherit the
+        # previous row's knobs (e.g. PIPE=1 leaking into the GROUPED rows)
+        for k in ("PT_CLUSTER_WIDE", "PT_CLUSTER_PIPE", "PT_CLUSTER_GROUPED",
+                  "PT_CLUSTER_SPLIT", "PT_CLUSTER_STREAM"):
+            monkeypatch.delenv(k, raising=False)
         for k, v in env.items():
             monkeypatch.setenv(k, v)
         idx, t, valid = cluster_march(ct, o, d, T_MIN, **kw)

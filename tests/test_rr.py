@@ -11,7 +11,7 @@ from pathtracer_tpu.scene import worlds
 def _render(cfg, scene, cam, seed=0):
     render = make_renderer(cfg, with_bvh=False, with_stats=True)
     img, n_exec = render(scene, None, cam, seed)
-    return np.asarray(img), int(n_exec)
+    return np.asarray(img), int(np.sum(n_exec))
 
 
 def test_rr_unbiased_and_cheaper():

@@ -71,6 +71,37 @@ def main():
                 for _, v in variants if "env" in v
                 for kv in v["env"].split(";") if kv}
     env_saved = {k: os.environ.get(k) for k in env_keys}
+    try:
+        _run_variants(variants, env_saved, args, imgs, orig)
+    finally:
+        # restore the baseline env after the LAST variant too — without
+        # this, everything after the loop in this process sees the final
+        # variant's knobs (ADVICE r3)
+        for k, old in env_saved.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+        cluster_sweep.cluster_march = orig
+    names = list(imgs)
+    for nm in names[1:]:
+        d = np.abs(imgs[nm] - imgs[names[0]])
+        print(f"img {nm} vs {names[0]}: max {d.max():.2e}", flush=True)
+
+
+def _run_variants(variants, env_saved, args, imgs, orig):
+    import os
+    import time
+
+    import jax
+    import numpy as np
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.ops import cluster_sweep
+    from pathtracer_tpu.render.renderer import make_renderer
+    from pathtracer_tpu.scene.worlds import get_world
+
+    scene, cam = get_world("bunny")
+    rays = args.width * args.height * args.spp * args.depth
     for name, v in variants:
         if "env" in v:
             # reset this axis's keys to the baseline, then apply the
@@ -94,7 +125,6 @@ def main():
             # PT_SWEEP_PRECISION is read at trace time (tensor_sweep.
             # sweep_mode); set the env and rebuild the renderer (fresh jit)
             # for a same-process A/B
-            import os
             os.environ["PT_SWEEP_PRECISION"] = v["sweep_mode"]
 
         cfg = RenderConfig(width=args.width, height=args.height,
@@ -105,20 +135,19 @@ def main():
         t0 = time.perf_counter()
         img = jax.block_until_ready(render(scene, None, cam, 0))
         tc = time.perf_counter() - t0
-        t0 = time.perf_counter()
+        # per-iteration block: timing only the final block on the async
+        # tunnel dispatch queue produced a physically impossible number
+        # once (bench.py r3) — never again
+        dts = []
         for i in range(3):
-            img = render(scene, None, cam, 0)
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / 3
+            t0 = time.perf_counter()
+            img = jax.block_until_ready(render(scene, None, cam, 0))
+            dts.append(time.perf_counter() - t0)
+        dt = sum(dts) / len(dts)
         print(f"{name}: compile+1 {tc:.0f}s "
               f"steady {dt*1e3:.1f} ms  {rays/dt/1e6:.2f} Mrays/s",
               flush=True)
         imgs[name] = np.asarray(img)
-    cluster_sweep.cluster_march = orig
-    names = list(imgs)
-    for nm in names[1:]:
-        d = np.abs(imgs[nm] - imgs[names[0]])
-        print(f"img {nm} vs {names[0]}: max {d.max():.2e}", flush=True)
 
 
 if __name__ == "__main__":
