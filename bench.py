@@ -101,6 +101,11 @@ def main() -> int:
                             "brute"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--ray-chunk", type=int, default=57600)
+    p.add_argument("--subdivide", type=int, default=0,
+                   help="bunny only: 4:1 midpoint subdivision levels "
+                        "(4 -> 1.27M tris; the HBM-scale bench row — the "
+                        "auto accel rule picks the streamed march above "
+                        "the resident VMEM budget)")
     args = p.parse_args()
 
     # Outage resilience: probe the tunnel (bounded retries) before
@@ -129,7 +134,9 @@ def main() -> int:
                        # realistic workload for those scenes
                        sky=args.scene not in ("cornell", "combined"),
                        nee=args.scene in ("cornell", "combined"))
-    scene, cam = get_world(args.scene)
+    scene_kw = ({"subdivide": args.subdivide}
+                if args.subdivide and args.scene == "bunny" else {})
+    scene, cam = get_world(args.scene, **scene_kw)
     bvh = None
     if args.accel == "bvh":
         bvh = jax.block_until_ready(build_lbvh(scene))
@@ -139,27 +146,34 @@ def main() -> int:
     img, n_exec = render(scene, bvh, cam, 0)
     jax.block_until_ready(img)
 
-    # Per-iteration block_until_ready: the r3 44,632 Mrays/s artifact came
-    # from timing only the final block on the async tunnel dispatch queue —
-    # each iteration must be synchronously retired before the clock stops.
+    # Per-iteration VALUE forcing: the r3 44,632 Mrays/s artifact came from
+    # timing an async dispatch — and block_until_ready itself is not
+    # trustworthy on the axon tunnel (under PT_CLUSTER_PARSEM it returns
+    # before execution completes while the image is still correct).
+    # Materializing the executed-query counters host-side (8 bytes) cannot
+    # lie: the executable must have retired to produce their values.
+    import numpy as _np
     dts = []
     for i in range(args.iters):
         t0 = time.perf_counter()
         img, n_exec = render(scene, bvh, cam, i + 1)
-        jax.block_until_ready((img, n_exec))
+        n_exec_host = _np.asarray(n_exec)
         dts.append(time.perf_counter() - t0)
     dt = sum(dts) / len(dts)
 
     rays = cfg.num_pixels * cfg.spp * cfg.max_depth
     mrays = rays / dt / 1e6
-    n_closest, n_shadow = (int(v) for v in n_exec)
+    n_closest, n_shadow, n_pairs = (int(v) for v in n_exec_host)
     from pathtracer_tpu.config import resolve_accel
+    metric_scene = (f"{args.scene}_sub{args.subdivide}"
+                    if scene_kw else args.scene)
     rec = {
-        "metric": f"{args.scene}_forward_throughput",
+        "metric": f"{metric_scene}_forward_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "accel": resolve_accel(args.accel, int(scene.num_prims)),
+        "prims": int(scene.num_prims),
         "nominal_queries": rays,
         # schema v2: executed_queries counts CLOSEST-HIT queries only (the
         # same population as nominal_queries), shadow (NEE) queries are
@@ -171,6 +185,23 @@ def main() -> int:
         "shadow_queries": n_shadow,
         "executed_mrays_per_s": round(n_closest / dt / 1e6, 3),
     }
+    # MFU / roofline accounting (VERDICT r3 #4): the march kernel counts
+    # executed (ray, prim-slot) sweep pair tests; each costs OUTS x 72
+    # bf16 MACs in the fused6 sweep plus 48 MACs of winner-rows
+    # extraction. The fraction of chip bf16 peak tells round 5 whether to
+    # tune the kernel or change the algorithm. XLA-side work (cull,
+    # binning sort, residual sweep, shading) is excluded — this is the
+    # MARCH matmul utilization, an upper bound on how much of the render
+    # is MXU-shaped. Peak: TPU v5e = 197 bf16 TFLOP/s (chip spec; other
+    # chips report flops only, mfu null).
+    if n_pairs > 0:
+        from pathtracer_tpu.ops.tensor_sweep import FEAT, OUTS
+        flops = n_pairs * 2.0 * (OUTS * 6 * FEAT + 48)
+        kind = str(jax.devices()[0].device_kind).lower()
+        peak = 197e12 if "v5 lite" in kind or "v5e" in kind else None
+        rec["pair_tests"] = n_pairs
+        rec["march_tflops"] = round(flops / dt / 1e12, 3)
+        rec["march_mfu"] = (round(flops / dt / peak, 5) if peak else None)
     # Sanity gate: on a bimodal-latency tunnel an unexplained timing
     # artifact must be rejected, not committed (VERDICT r3 weak #2). A rate
     # wildly above every dated line for this metric — or above any rate the

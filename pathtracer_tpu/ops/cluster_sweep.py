@@ -410,7 +410,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         # before the cols do — the DESIGN.md "SMEM growth" open risk).
         (ctype_ref, ids_hbm, ents_hbm, phi_ref, a_ref, gate_ref,
          cols_hbm, sph_ref, valid_ref, rows_hbm,
-         t_ref, best_ref, rows_out, ids_s, ents_s, tab_sem,
+         t_ref, best_ref, rows_out, win_ref, ids_s, ents_s, tab_sem,
          cols_buf, cols_sem, *rest) = refs
         if with_rows:
             rows_buf, rows_sem = rest
@@ -418,11 +418,11 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
     elif guard:
         (ids_ref, ents_ref, ctype_ref, cbox_ref, phi_ref, a_ref,
          gate_ref, od_ref, cols_ref, sph_ref, valid_ref, rows_ref,
-         t_ref, best_ref, rows_out) = refs
+         t_ref, best_ref, rows_out, win_ref) = refs
     else:
         (ids_ref, ents_ref, ctype_ref, phi_ref, a_ref,
          gate_ref, cols_ref, sph_ref, valid_ref, rows_ref,
-         t_ref, best_ref, rows_out) = refs
+         t_ref, best_ref, rows_out, win_ref) = refs
     i = pl.program_id(0)
     if stream:
         # chunk i's march order -> SMEM (scalar reads in cond/body below)
@@ -805,7 +805,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         S0 = jax.lax.cond(
             marches0, lambda: window_S(jnp.int32(0)),
             lambda: jnp.zeros((n, wide * OUTS * K), jnp.float32))
-        _, _, t_acc, b_acc, r_acc = jax.lax.while_loop(
+        p_end, _, t_acc, b_acc, r_acc = jax.lax.while_loop(
             cond_wide, body_wide, (jnp.int32(0), S0, t0, b0, r0))
     elif stream:
         # prime window 0's DMAs only when the chunk marches at all, and
@@ -819,12 +819,17 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             cond_wide, body_wide, (jnp.int32(0), t0, b0, r0))
         pl.when(marches0)(lambda: wait_window(p_end))
     else:
-        _, t_acc, b_acc, r_acc = jax.lax.while_loop(
+        p_end, t_acc, b_acc, r_acc = jax.lax.while_loop(
             cond_wide if wide > 1 else cond,
             body_wide if wide > 1 else body,
             (jnp.int32(0), t0, b0, r0))
     t_ref[0, 0] = t_acc
     best_ref[0, 0] = b_acc
+    # windows marched (loop iterations; clusters for the 1-wide body) —
+    # the MFU/roofline accounting's executed-work counter (bench.py).
+    # Broadcast to the lane-wide block (a (1,1,1) i32 output block would
+    # sit below the 128-lane tile).
+    win_ref[0, 0] = jnp.full((n,), p_end, jnp.int32)
     if with_rows:
         # fold the exact bf16 3-way split: (hi + mid) + lo, the same f32
         # addition order the per-visit variant used — bit-identical rows
@@ -859,8 +864,10 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     ``extras`` (tuple of (R,) arrays, optional — requires ``with_rows`` and
     ``sort_rays`` and R % ray_tile == 0): the caller's per-ray state rides
     the binning sort and the call *stays in sorted order* (no unsort at
-    all). Returns ``(idx, t, valid, rows, o_s, d_s, active_s, extras_s)``,
-    everything in march order — the sorted-wavefront integrator mode
+    all). Returns ``(idx, t, valid, rows, o_s, d_s, active_s, extras_s,
+    pair_tests)`` — ``pair_tests`` is an f32 scalar counting executed
+    (ray, prim-slot) sweep tests, the bench MFU numerator — everything in
+    march order — the sorted-wavefront integrator mode
     (render/integrator.py): one sort per bounce carries the whole carry,
     replacing the per-query sort + 19-payload unsort, and the bounce's
     cluster binning doubles as dead-lane compaction (BASELINE's
@@ -878,8 +885,10 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         key2 = _os.environ.get("PT_CLUSTER_KEY2", "1") != "0"
     # fused6 sweep (see tensor_sweep.fused6_dot): HIGHEST's six bf16 passes
     # as one pre-expanded DEFAULT matmul per visit. Values match HIGHEST to
-    # f32 summation order (ulp); env-gated for on-chip A/B.
-    fused6 = _os.environ.get("PT_SWEEP_FUSED6", "0") == "1"
+    # f32 summation order (ulp); resolved to default-ON below once the
+    # composition flags are known.
+    fused6_env = _os.environ.get("PT_SWEEP_FUSED6", "")
+    fused6 = fused6_env == "1"
     # wide visits: W clusters per march iteration, ONE sweep matmul + ONE
     # rows extraction per window (bit-identical; see _march_kernel).
     # Measured on chip (bunny bench): W=2 per-slot 12.87, W=4 grouped
@@ -916,7 +925,50 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # n_chunks x C_reg SMEM prefetch-table wall) to HBM scale while
     # keeping DMA traffic proportional to clusters marched. Exact same
     # results as the resident march (the blocks are byte-identical).
-    stream = _os.environ.get("PT_CLUSTER_STREAM", "0") == "1"
+    resident_budget = (float(_os.environ.get("PT_CLUSTER_RESIDENT_MB",
+                                             "12")) * 1024 * 1024)
+    stream_env = _os.environ.get("PT_CLUSTER_STREAM", "auto")
+    if stream_env in ("auto", ""):
+        # Resident-vs-streamed AUTO rule (VERDICT r3 #5): keep the cluster
+        # tables VMEM-resident while they fit a conservative budget, spill
+        # to the HBM-streamed march above it. Measured: resident and
+        # streamed are at parity at bench scale (12.65 vs 12.54 Mrays/s
+        # r3), so the rule only needs to be safe, not precise. The
+        # budget excludes the fused6 expansion (computed below) — a scene
+        # whose fused6 tables overflow falls back to the 6-pass resident
+        # sweep before it falls to streaming.
+        c_tot_est = ct.cols.shape[0]
+        per_cluster = (ct.cols.shape[1] * ct.cols.shape[2] * 4   # cols f32
+                       + (48 * ct.K * 2 if with_rows else 0)     # rows bf16
+                       + 2 * ct.K * 4)                           # masks
+        stream = c_tot_est * per_cluster > resident_budget
+    else:
+        stream = stream_env == "1"
+    # fused6 DEFAULT-ON since round 4 (PT_SWEEP_PRECISION defaults to
+    # "fused6", tensor_sweep.sweep_mode): validated per-scene against a
+    # float64 oracle (tools/sweep_validate.py — winner flips <= 5e-5 with
+    # NO p99 t-error inflation on test/triangle/random/bunny, i.e. exactly
+    # HIGHEST's own razor-edge tie behavior; bf16x3 by contrast FAILS
+    # triangle/bunny) and measured +12% whole-render on chip (402 -> 367 ms
+    # bunny bench, r4 A/B). The production shape (grouped wide windows,
+    # resident tables) PRE-expands the operands once per query — 3x the
+    # resident cols VMEM, no per-visit expansion; every other shape
+    # (stream/split/guard/pipe) gets the identical arithmetic via
+    # sweep_dot's on-the-fly fused6 expansion, so cross-variant
+    # bit-identity holds either way. PT_SWEEP_FUSED6=0 forces the
+    # pre-expanded route off (sweep_dot still follows PT_SWEEP_PRECISION).
+    # ... and only while the 3x-expanded table still fits the resident
+    # budget — a mid-size scene falls back to the 6-pass resident sweep
+    # before it falls to streaming (resident-highest beats streamed at
+    # parity-scale, r3 table).
+    fused6_bytes = ct.cols.shape[0] * (
+        6 * FEAT * ct.cols.shape[2] * 2
+        + (48 * ct.K * 2 if with_rows else 0) + 2 * ct.K * 4)
+    if (fused6_env == "" and grouped
+            and not (stream or split or guard or pipe)
+            and fused6_bytes <= resident_budget
+            and tensor_sweep.sweep_mode() == "fused6"):
+        fused6 = True
     if stream and (guard or pipe or split or fused6):
         raise ValueError("PT_CLUSTER_STREAM composes with wide/grouped "
                          "only (not guard/pipe/split/fused6)")
@@ -1180,6 +1232,10 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         out_specs.append(blk((1, 16, ray_tile), (0, 0, 0)))
         out_shape.append(
             jax.ShapeDtypeStruct((1, 16, ray_tile), jnp.float32))
+    # per-chunk windows-marched counter (MFU accounting)
+    out_specs.append(blk((1, 1, ray_tile)))
+    out_shape.append(
+        jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32))
     in_specs = [
         blk((ray_tile, feat_in)),
         blk((1, 1, ray_tile)),
@@ -1286,6 +1342,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         best = jnp.full((n_chunks, 1, ray_tile), -1, jnp.int32)
         rows_k = jnp.zeros((n_chunks if with_rows else 1, 16, ray_tile),
                            jnp.float32)
+        wins_k = jnp.zeros((n_chunks, 1, ray_tile), jnp.int32)
     else:
         # PT_CLUSTER_PARSEM=1: declare the chunk grid dim "parallel"
         # (chunks are independent — distinct output blocks, no cross-step
@@ -1302,23 +1359,38 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # physical VMEM has headroom above the default budget is a chip
         # experiment (the knob makes it runnable).
         params = {}
-        # PARSEM is gated off under stream: the streamed march shares one
-        # SMEM/VMEM scratch set across grid steps with manually managed DMA
-        # semaphores, and its correctness rests on in-order step execution —
-        # which "parallel" semantics do not guarantee (ADVICE r3).
-        if _os.environ.get("PT_CLUSTER_PARSEM") == "1" and not stream:
+        # PARSEM (dimension_semantics=parallel on the chunk grid):
+        # DEFAULT-ON since round 4 — chunks are independent (distinct
+        # output blocks, no cross-step carry; the resident tables are
+        # read-only constant blocks), Mosaic can then overlap per-step
+        # work across grid steps, measured +13% whole-render same-process
+        # (415 -> 366 ms, image bit-identical). Gated off under stream:
+        # the streamed march shares one SMEM/VMEM scratch set across grid
+        # steps with manually managed DMA semaphores, and its correctness
+        # rests on in-order step execution — which "parallel" semantics do
+        # not guarantee (ADVICE r3). MEASUREMENT caveat: under PARSEM the
+        # axon tunnel's block_until_ready returns before execution
+        # completes (this produced the r3 44,632 Mrays/s artifact) — time
+        # by materializing an output VALUE (bench.py does).
+        if (_os.environ.get("PT_CLUSTER_PARSEM", "1") == "1"
+                and not stream):
             params["dimension_semantics"] = ("parallel",)
         vmem_mb = int(_os.environ.get("PT_CLUSTER_VMEM_MB", "0"))
         if vmem_mb:
             params["vmem_limit_bytes"] = vmem_mb * 1024 * 1024
         params = pltpu.CompilerParams(**params) if params else None
-        t_best, best, rows_k = pl.pallas_call(
+        t_best, best, rows_k, wins_k = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
             compiler_params=params,
             interpret=jax.default_backend() != "tpu",
         )(*prefetch, *operands)
+    # executed pair tests (ray x primitive slot): every marched window
+    # sweeps wide*K lanes against ray_tile rays — the numerator of the
+    # bench MFU line (sweep flops = pairs x OUTS x 72 MACs under fused6)
+    pair_tests = (jnp.sum(wins_k[:, 0, 0].astype(jnp.float32))
+                  * float(wide * K * ray_tile))
     t_best = t_best.reshape(-1)
     best = best.reshape(-1)
     # field-major (16, R): keeps the ray dim on lanes — transposing to
@@ -1347,7 +1419,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # backdrop "hits" it); the contract is that they are misses
         found = (best >= 0) & active
         idx = jnp.where(found, best, 0)
-        return idx, t_best, found, rowsF, o, d, active, extras
+        return idx, t_best, found, rowsF, o, d, active, extras, pair_tests
 
     if sort_rays:
         ops = [rid, t_best, best] + (
@@ -1382,6 +1454,11 @@ def make_cluster_closest_hit(ct: ClusterTables, t_min: float,
     ct = jax.tree_util.tree_map(
         lambda x: jax.lax.stop_gradient(x) if hasattr(x, "dtype") else x,
         ct)
+    # PT_CLUSTER_RAYTILE: chunk-width A/B knob (tile=256 halves grid steps
+    # per query at 2x the per-window lane count; r3 measured it negative
+    # at W=2, re-test at W=8 per VERDICT #8)
+    import os as _os
+    ray_tile = int(_os.environ.get("PT_CLUSTER_RAYTILE", ray_tile))
 
     def closest(o, d):
         if strategy == "march":

@@ -49,16 +49,20 @@ FEAT = 12   # phi dimension
 OUTS = 4    # pair scalars per primitive
 BIG = 3.0e38  # python float: also usable inside Pallas kernels
 
-# Matmul precision for the sweep. HIGHEST (bf16x6) reproduces f32 exactly
-# and is the default. PT_SWEEP_PRECISION=default/high is EXPERIMENTAL: on
-# scenes with large coordinate extents (1000-radius backdrop spheres) the
-# low-precision pair scalars flip closest-hit winners and visibly corrupt
-# the image (docs/DESIGN.md). "high" applies to the XLA tensor path only —
-# Mosaic rejects Precision.HIGH inside Pallas kernels; "bf16x3" is the
-# manual 3-pass decomposition of HIGH (hi/lo bf16 splits, dropping the
-# lo*lo term) that Mosaic *does* lower, halving MXU passes vs HIGHEST
-# inside kernels. Validate per-scene with an image diff before trusting
-# (roadmap §3): ~2^-16 relative error on the pair scalars.
+# Matmul precision for the sweep. "fused6" (the DEFAULT since round 4)
+# computes HIGHEST's (bf16x6) six cross terms as ONE pre-expanded
+# DEFAULT-precision matmul — values match HIGHEST to f32 summation order
+# (ulp), validated per-scene against a float64 oracle
+# (tools/sweep_validate.py: winner flips <= 5e-5 with no p99 t-error
+# inflation on test/triangle/random/bunny — exactly HIGHEST's own
+# razor-edge tie behavior) and measured +12% whole-render on chip.
+# "highest" restores the 6-pass enum form. default/high/bf16x3 are
+# EXPERIMENTAL: on scenes with large coordinate extents the low-precision
+# pair scalars flip closest-hit winners and visibly corrupt the image
+# (bf16x3 FAILS triangle/bunny in tools/sweep_validate.py). "high" applies
+# to the XLA tensor path only — Mosaic rejects Precision.HIGH inside
+# Pallas kernels; "bf16x3" is the manual 3-pass decomposition of HIGH
+# that Mosaic *does* lower.
 import os as _os
 _SWEEP_PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -72,15 +76,21 @@ def sweep_mode() -> str:
     """PT_SWEEP_PRECISION, read at *trace* time (like the PT_CLUSTER_*
     knobs) so an in-process toggle takes effect on the next compile — the
     renderer cache key covers PT_SWEEP_* (renderer._experiment_env_sig)."""
-    return _os.environ.get("PT_SWEEP_PRECISION", "highest").lower()
+    return _os.environ.get("PT_SWEEP_PRECISION", "fused6").lower()
 
 
 def sweep_dot(x, y):
     """The sweep contraction x @ y at the configured precision.
 
     Shared by the XLA scan and every Pallas kernel so the precision story
-    stays in one place. In "bf16x3" mode the split-product runs explicitly
-    (Mosaic-lowerable); otherwise one dot_general with the enum."""
+    stays in one place — every accel path runs the same arithmetic, which
+    is what keeps triangle-winner t bit-exact across paths
+    (test_cluster/test_tensor_sweep). In "fused6" mode (default) the
+    operands are 6-block bf16 expanded on the fly and contracted once; in
+    "bf16x3" the split-product runs explicitly (Mosaic-lowerable);
+    otherwise one dot_general with the enum."""
+    if sweep_mode() == "fused6":
+        return fused6_dot(expand6_lhs(x, axis=-1), expand6_rhs(y, axis=0))
     if sweep_mode() == "bf16x3":
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -31,6 +31,16 @@ from pathtracer_tpu.scene.scene import Scene
 from pathtracer_tpu.parallel.mesh import RAYS_AXIS, SPP_AXIS
 
 
+# Minimum chunks per device for the round-robin interleave. Contiguous
+# raster sharding load-imbalances badly — sky shards terminate in one
+# bounce while geometry shards trace full paths (measured 0.73 mean/max
+# executed-query efficiency on the bunny frame, SCALING_proxy.json r4);
+# striding chunks across the frame gives every device a cross-section of
+# the scene (0.97+ measured). More chunks = finer balance but more
+# lax.map steps per device.
+K_INTERLEAVE = 4
+
+
 def _shard_plan(cfg: RenderConfig, mesh: Mesh):
     """Static layout: per-device pixel count (chunk-aligned) and spp split."""
     rays_size = mesh.shape[RAYS_AXIS]
@@ -40,8 +50,13 @@ def _shard_plan(cfg: RenderConfig, mesh: Mesh):
                          f"size {spp_size}")
     spp_local = cfg.spp // spp_size
     n_pixels = cfg.num_pixels
-    # Each device's shard must be a whole number of chunks.
+    # Each device's shard must be a whole number of chunks; aim for at
+    # least K_INTERLEAVE chunks per device so the round-robin assignment
+    # can balance (keep chunks >= 1024 rays so tiny frames don't shatter).
     chunk = min(cfg.ray_chunk, -(-n_pixels // rays_size))
+    target = -(-n_pixels // (rays_size * K_INTERLEAVE))
+    if chunk > max(target, 1024):
+        chunk = max(target, 1024)
     per_dev = -(-n_pixels // (rays_size * chunk)) * chunk
     return rays_size, spp_size, spp_local, per_dev, chunk
 
@@ -55,6 +70,20 @@ def make_sharded_renderer(cfg: RenderConfig, mesh: Mesh,
     n_padded = per_dev * rays_size
     rows0, cols0 = renderer_mod.padded_pixel_grid(cfg, n_padded)
     cfg_local = cfg.replace(ray_chunk=chunk)
+
+    # Round-robin chunk interleave: device d renders chunks d, d+R,
+    # d+2R, ... so every device sees a cross-section of the frame instead
+    # of a contiguous raster band (load balance, see K_INTERLEAVE). Each
+    # chunk itself is untouched — its RNG keys derive from its first
+    # pixel's GLOBAL index, so every (pixel, sample) radiance is
+    # unchanged; only which device computes it moves. The inverse
+    # permutation restores raster order after the all_gather.
+    n_chunks_total = n_padded // chunk
+    per_dev_chunks = per_dev // chunk
+    perm = jnp.arange(n_chunks_total).reshape(
+        per_dev_chunks, rays_size).T.reshape(-1)
+    rows0 = rows0.reshape(n_chunks_total, chunk)[perm].reshape(-1)
+    cols0 = cols0.reshape(n_chunks_total, chunk)[perm].reshape(-1)
 
     repl = P()
     shard_rays = P(RAYS_AXIS)
@@ -82,6 +111,11 @@ def make_sharded_renderer(cfg: RenderConfig, mesh: Mesh,
     def render(scene: Scene, bvh, cam: camera_mod.Camera, seed):
         seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
         acc = sharded(scene, bvh, cam, seed_arr, rows0, cols0)
+        # undo the round-robin interleave (device-major chunk order ->
+        # raster chunk order); a device-local reshape of the replicated
+        # output, no collective
+        acc = acc.reshape(rays_size, per_dev_chunks, chunk, 3).transpose(
+            1, 0, 2, 3).reshape(n_padded, 3)
         img = jnp.sqrt(jnp.maximum(acc[:cfg.num_pixels], 0.0) / cfg.spp)
         return img.reshape(cfg.height, cfg.width, 3)
 

@@ -151,12 +151,15 @@ def trace(scene: Scene,
           rr: bool = False,
           rr_depth: int = 3):
     """Trace a wavefront of rays to radiance. Returns (N, 3), or
-    ((N, 3), executed_queries) when ``with_stats`` — a (2,) int32 vector
-    [closest_hit_queries, shadow_queries] counting queries that actually did
-    work (dead-ray-aware accels skip terminated lanes; others execute every
-    lane each bounce), split so NEE shadow rays can never inflate the
-    closest-hit Mrays/s (bench schema v2). int32: callers keep per-call
-    workloads under 2^31 queries (bench shapes are ~10^7).
+    ((N, 3), executed_queries) when ``with_stats`` — a (3,) f32 vector
+    [closest_hit_queries, shadow_queries, sweep_pair_tests]: queries that
+    actually did work (dead-ray-aware accels skip terminated lanes; others
+    execute every lane each bounce), split so NEE shadow rays can never
+    inflate the closest-hit Mrays/s (bench schema v2), plus the march's
+    executed (ray, prim-slot) sweep tests for MFU accounting (0 for
+    non-march accels). f32: per-trace query counts stay below 2^24 (exact);
+    pair tests trade exactness above 2^24 for ~1e-7 relative error — a
+    throughput statistic, not a checksum.
 
     ``closest_hit_fn(o, d) -> (prim_idx, t, valid)`` is the pluggable
     acceleration structure (tensor / Pallas / BVH / brute). Its discrete
@@ -234,9 +237,9 @@ def trace(scene: Scene,
          rid, n_exec) = carry
         bkey = jax.random.fold_in(key, depth)
 
-        n_exec = n_exec.at[0].add(jnp.sum(alive, dtype=jnp.int32)
+        n_exec = n_exec.at[0].add(jnp.sum(alive, dtype=jnp.float32)
                                   if (handles_dead or sorted_mode)
-                                  else jnp.int32(n_rays))
+                                  else jnp.float32(n_rays))
         # Visibility query on detached geometry (discrete winner index).
         if sorted_mode:
             # flags + ray id share one int32 sort payload (rid < 2^29)
@@ -251,10 +254,12 @@ def trace(scene: Scene,
                 extras += [prev_pdf]
             # kwargs only when skipping the re-bin: knockout stubs replace
             # query_sorted with a positional-only signature
-            idx, _, hit_valid, prows, o, d, alive, ex = query_sorted(
+            idx, _, hit_valid, prows, o, d, alive, ex, pairs = query_sorted(
                 jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
                 alive, tuple(extras),
                 **({} if resort else {"resort": False}))
+            # executed sweep pair-tests (bench MFU accounting)
+            n_exec = n_exec.at[2].add(pairs)
             atten = jnp.stack(ex[0:3], axis=1)
             packed = ex[3]
             rid = packed & ((1 << 29) - 1)
@@ -334,8 +339,9 @@ def trace(scene: Scene,
             # direct light; only the continuation dies.
             take_direct = (active & ~sc.is_emissive
                            & (sc.is_diffuse | sc.is_glossy))
-            n_exec = n_exec.at[1].add(jnp.sum(take_direct, dtype=jnp.int32)
-                                      if handles_dead else jnp.int32(n_rays))
+            n_exec = n_exec.at[1].add(
+                jnp.sum(take_direct, dtype=jnp.float32)
+                if handles_dead else jnp.float32(n_rays))
             direct, _ = lights_mod.direct_lighting(
                 scene, rec.p, rec.normal, sc.attenuation, closest_hit_fn,
                 u_nee, eps=t_min,
@@ -379,7 +385,7 @@ def trace(scene: Scene,
     pdf0 = jnp.zeros((n_rays,), jnp.float32)
     rid0 = jnp.arange(n_rays, dtype=jnp.int32)
     carry0 = (origin, direction, atten0, alive0, absorbed0, emitted0, spec0,
-              pdf0, rid0, jnp.zeros((2,), jnp.int32))
+              pdf0, rid0, jnp.zeros((3,), jnp.float32))
 
     if differentiable:
         (o, d, atten, alive, absorbed, emitted_acc, _, _, rid, n_exec), _ \

@@ -185,22 +185,21 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
                 terminate_black=cfg.terminate_black,
                 differentiable=differentiable, nee=cfg.nee,
                 with_stats=with_stats, rr=cfg.rr, rr_depth=cfg.rr_depth)
-            return out if with_stats else (out, jnp.zeros((2,), jnp.int32))
+            return out if with_stats else (out, jnp.zeros((3,), jnp.float32))
 
         acc, n_exec = acc
         radiance, chunk_exec = jax.lax.map(render_chunk, (rows_c, cols_c))
         # executed-query counters ride f32: the whole-render sum exceeds
         # int32 at production scale (1920x1080 x 512spp x depth 50 ~ 5e10
-        # nominal) — per-trace sums stay int32 (bounded by chunk x depth),
-        # the accumulator trades exactness above 2^24 for ~1e-7 relative
-        # error (a throughput statistic, not a checksum). Shape (2,):
-        # [closest_hit, shadow] (integrator.trace docstring).
+        # nominal) — the accumulator trades exactness above 2^24 for ~1e-7
+        # relative error (a throughput statistic, not a checksum). Shape
+        # (3,): [closest_hit, shadow, sweep_pair_tests] (integrator.trace).
         return (acc + radiance.reshape(n_padded, 3),
-                n_exec + jnp.sum(chunk_exec, axis=0).astype(jnp.float32))
+                n_exec + jnp.sum(chunk_exec, axis=0))
 
     acc, n_exec = jax.lax.fori_loop(
         0, spp, sample_pass,
-        (jnp.zeros((n_padded, 3), jnp.float32), jnp.zeros((2,), jnp.float32)))
+        (jnp.zeros((n_padded, 3), jnp.float32), jnp.zeros((3,), jnp.float32)))
     return (acc, n_exec) if with_stats else acc
 
 

@@ -155,8 +155,13 @@ def test_march_incoherent_and_dead():
     idx_r, t_r, v_r = cluster_closest(ct, o, d, T_MIN)
     np.testing.assert_array_equal(np.asarray(v_m), np.asarray(v_r))
     hit = np.asarray(v_r)
+    # 1e-3: march and rounds pipeline associate the fused6 contraction
+    # differently (window widths), and incoherent rays against the random
+    # world's big backdrop spheres sit in the sqrt-cancellation regime
+    # where ulp input differences amplify ~100x (see
+    # test_march_matches_brute's sphere-tolerance note)
     np.testing.assert_allclose(np.asarray(t_m)[hit], np.asarray(t_r)[hit],
-                               rtol=2e-4)
+                               rtol=1e-3)
     dead = np.asarray((jnp.arange(512) % 5) == 0)
     assert not np.asarray(v_m)[dead].any()
 
@@ -299,6 +304,14 @@ def test_march_wide_variants_bit_identical(monkeypatch):
     scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=3)
     ct = build_cluster_tables(scene)
     ref = None
+    # Strict bit-identity is pinned under PT_SWEEP_PRECISION=highest: the
+    # 6-pass enum sweep produces identical values at every window width,
+    # so any t difference here is a STRUCTURAL march bug (masking,
+    # ordering, sentinels, stream DMA). The production default ("fused6",
+    # round 4) contracts 72 bf16 terms in one dot whose accumulation order
+    # is shape-dependent on CPU (ulp-level) — its cross-variant agreement
+    # is asserted value-level in test_march_wide_variants_fused6_agree.
+    monkeypatch.setenv("PT_SWEEP_PRECISION", "highest")
     # Every variant pins GROUPED explicitly: since the default flipped to
     # grouped windows, bare WIDE=N would silently exercise the grouped body
     # and the per-slot W>1 march would lose its bit-identity coverage
@@ -348,6 +361,35 @@ def test_march_wide_variants_bit_identical(monkeypatch):
             np.testing.assert_array_equal(np.asarray(idx), ref[0], env)
         for k in env:
             monkeypatch.delenv(k)
+
+
+def test_march_wide_variants_fused6_agree(monkeypatch):
+    """Cross-variant agreement under the PRODUCTION default (fused6): the
+    72-term bf16 contraction's f32 accumulation order varies with window
+    width on CPU, so t is rtol-tight rather than bit-equal across W —
+    winners and validity must still match exactly (an idx/valid difference
+    is a structural bug, not summation order)."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=3)
+    ct = build_cluster_tables(scene)
+    ref = None
+    for env in ({"PT_CLUSTER_WIDE": "1"},
+                {"PT_CLUSTER_WIDE": "8", "PT_CLUSTER_GROUPED": "1"},
+                {"PT_CLUSTER_STREAM": "1"}):
+        for k in ("PT_CLUSTER_WIDE", "PT_CLUSTER_GROUPED",
+                  "PT_CLUSTER_STREAM"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        idx, t, valid = cluster_march(ct, o, d, T_MIN)
+        if ref is None:
+            ref = (np.asarray(idx), np.asarray(t), np.asarray(valid))
+        else:
+            np.testing.assert_array_equal(np.asarray(valid), ref[2], env)
+            np.testing.assert_array_equal(np.asarray(idx), ref[0], env)
+            hit = ref[2]
+            np.testing.assert_allclose(np.asarray(t)[hit], ref[1][hit],
+                                       rtol=2e-6, err_msg=str(env))
 
 
 def test_march_small_k_split_matches(monkeypatch):
@@ -474,10 +516,25 @@ def test_render_image_cluster_stream_bit_identical(monkeypatch, world):
                        max_depth=3, accel="cluster",
                        ray_chunk=48 * (48 if nee else 27), scene=world,
                        sky=not nee, nee=nee)
+    # bit-identity is pinned under highest (stream and resident then share
+    # the exact same 6-pass arithmetic — any pixel difference is a DMA /
+    # ordering bug); the fused6 default is checked allclose separately
+    # below (its 72-term contraction order differs by window shape on CPU)
+    monkeypatch.setenv("PT_SWEEP_PRECISION", "highest")
     ref = np.asarray(render_image(scene, cam, cfg, seed=5))
     monkeypatch.setenv("PT_CLUSTER_STREAM", "1")
     img = np.asarray(render_image(scene, cam, cfg, seed=5))
     np.testing.assert_array_equal(img, ref)
+    monkeypatch.delenv("PT_SWEEP_PRECISION")
+    img6 = np.asarray(render_image(scene, cam, cfg, seed=5))
+    monkeypatch.delenv("PT_CLUSTER_STREAM")
+    ref6 = np.asarray(render_image(scene, cam, cfg, seed=5))
+    # under the fused6 default, stream (inline expansion) and resident
+    # (pre-expanded) associate the 72-term contraction differently —
+    # razor-edge winners may flip on isolated samples (big single-pixel
+    # diffs at 2 spp); the images must agree everywhere else
+    d6 = np.abs(img6 - ref6)
+    assert (d6 > 2e-3).mean() < 0.005, (d6 > 2e-3).mean()
 
 
 def test_supercluster_cull_matches(monkeypatch):

@@ -133,15 +133,25 @@ def _run_variants(variants, env_saved, args, imgs, orig):
                            scene="bunny")
         render = make_renderer(cfg, with_bvh=False)
         t0 = time.perf_counter()
-        img = jax.block_until_ready(render(scene, None, cam, 0))
+        try:
+            img = jax.block_until_ready(render(scene, None, cam, 0))
+        except Exception as e:  # noqa: BLE001 — a variant that fails to
+            # compile (VMEM OOM etc.) must not abort the rest of the batch
+            print(f"{name}: FAILED {str(e).splitlines()[0][:160]}",
+                  flush=True)
+            continue
         tc = time.perf_counter() - t0
-        # per-iteration block: timing only the final block on the async
-        # tunnel dispatch queue produced a physically impossible number
-        # once (bench.py r3) — never again
+        # per-iteration VALUE forcing (not block_until_ready): under some
+        # compiled programs the axon tunnel's block_until_ready returns
+        # before execution completes (PT_CLUSTER_PARSEM reproduces the r3
+        # 44,632 Mrays/s artifact deterministically, image still correct);
+        # materializing a 4-byte reduction of the output cannot lie
+        import jax.numpy as jnp
         dts = []
         for i in range(3):
             t0 = time.perf_counter()
-            img = jax.block_until_ready(render(scene, None, cam, 0))
+            img = render(scene, None, cam, i)
+            _ = float(np.asarray(jnp.sum(img)))
             dts.append(time.perf_counter() - t0)
         dt = sum(dts) / len(dts)
         print(f"{name}: compile+1 {tc:.0f}s "

@@ -56,7 +56,7 @@ def main():
     def q_loop(o, d):
         def body(i, carry):
             o_, d_, s = carry
-            idx, tt, v, rows, o_, d_, a_, ex = closest.query_sorted(
+            idx, tt, v, rows, o_, d_, a_, ex, _pt = closest.query_sorted(
                 o_, d_, act, extras)
             return o_, d_, s + jnp.sum(tt * 0 + 1)
         return jax.lax.fori_loop(0, N, body, (o, d, 0.0))[2]

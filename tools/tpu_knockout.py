@@ -74,7 +74,8 @@ def main():
                             jnp.full((r,), 1.0, jnp.float32),
                             jnp.ones((r,), bool),
                             jnp.zeros((16, r), jnp.float32),
-                            o, d, active, tuple(extras))
+                            o, d, active, tuple(extras),
+                            jnp.zeros((), jnp.float32))
                 closest.query_sorted = q_sorted
 
                 def q_rows(o, d):

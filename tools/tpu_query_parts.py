@@ -71,7 +71,7 @@ def main():
     _closest0 = cs.make_cluster_closest_hit(ct, 1e-3)
     _srt = jax.jit(lambda o_, d_: _closest0.query_sorted(
         o_, d_, active, (rid,)))
-    _, _, _, _, o, d, _, (srt_rid,) = jax.block_until_ready(_srt(o, d))
+    _, _, _, _, o, d, _, (srt_rid,), _pt = jax.block_until_ready(_srt(o, d))
 
     # Calibration anchor: a fixed elementwise sweep whose steady-state cost
     # is known from a good-state process; if this reads far off, the whole
