@@ -897,7 +897,12 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # the 16 MB scoped-VMEM budget (W=16 resident and W=8 x K=256 both
     # hit ~18.5M); PT_CLUSTER_VMEM_MB raises the budget for experiments.
     # The guard path keeps the 1-wide body (guard is default-off).
-    wide = int(_os.environ.get("PT_CLUSTER_WIDE", "8"))
+    # W default scales with K to keep 1024-lane windows (the measured
+    # sweet spot: wider aborts at the scoped-VMEM budget for K=128, and
+    # K=64 x W=16 beats K=128 x W=8 by +15% — finer culling at equal
+    # window lanes; K=64 x W=32 is at parity with W=16, r4 queue)
+    wide = int(_os.environ.get("PT_CLUSTER_WIDE",
+                               "16" if ct.K < 128 else "8"))
     if guard:
         wide = 1
     # software-pipelined march (wide > 1 only): the carry holds the next
@@ -918,7 +923,8 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # sublane-indexed (FEAT, K) block — the enabler for small clusters
     # (K < 128 cuts pair tests per ray; the window still sweeps
     # wide*K >= 128 lanes densely)
-    split = (_os.environ.get("PT_CLUSTER_SPLIT", "0") == "1") and grouped
+    split = (_os.environ.get("PT_CLUSTER_SPLIT",
+                             "1" if ct.K % 128 else "0") == "1") and grouped
     # streamed-table march (PT_CLUSTER_STREAM=1): cluster cols/rows stay
     # in HBM and only *visited* clusters are DMA'd into a double-buffered
     # VMEM scratch — lifts the ~65k-prim VMEM capacity wall (and the

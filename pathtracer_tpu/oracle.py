@@ -407,6 +407,15 @@ def main():
     import json
     import time
 
+    # Force CPU BEFORE any jax array op (scene construction included):
+    # the axon sitecustomize routes the default backend to the shared
+    # tunnel chip, and a "CPU oracle" CLI must never land there — it
+    # perturbs chip measurement batches AND silently compares the oracle
+    # against a TPU render (jax.config wins only while backends are
+    # uninitialized; CLAUDE.md).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     from pathtracer_tpu.scene.worlds import get_world
 
     p = argparse.ArgumentParser(

@@ -63,8 +63,25 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
         st = os.environ.get("PT_CLUSTER_STRATEGY")
         if st:
             kw["strategy"] = st
+        # K=64 since round 4: at equal window lanes (W=16 x K=64 vs
+        # W=8 x K=128), half-size clusters cull twice as selectively —
+        # +15% whole-render same-process (408 -> 354 ms, bunny bench).
+        # K<128 needs the split-table grouped march, which the STREAMED
+        # march does not support — scenes that will stream (tables above
+        # the resident budget, or PT_CLUSTER_STREAM=1 forced) build K=128
+        # tables instead (matching ops/cluster_sweep's auto-stream rule).
         kk = os.environ.get("PT_CLUSTER_K")
-        ct = build_cluster_tables(scene, K=int(kk) if kk else 128)
+        if kk:
+            K = int(kk)
+        else:
+            budget = float(os.environ.get("PT_CLUSTER_RESIDENT_MB",
+                                          "12")) * 1024 * 1024
+            n_cl64 = -(-int(scene.num_prims) // 64)
+            bytes64 = n_cl64 * (12 * 4 * 64 * 4 + 48 * 64 * 2 + 2 * 64 * 4)
+            will_stream = (bytes64 > budget
+                           or os.environ.get("PT_CLUSTER_STREAM") == "1")
+            K = 128 if will_stream else 64
+        ct = build_cluster_tables(scene, K=K)
         return make_cluster_closest_hit(ct, t_min, **kw), ct.scene
     if accel == "tensor":
         from pathtracer_tpu.ops.tensor_sweep import make_tensor_closest_hit
