@@ -84,7 +84,7 @@ def _window_kernel(starts_ref, skips_ref, phi_ref, a_ref, cols_ref, sph_ref,
             t_acc, b_acc = carry
             c = start + j
             blk = cols_ref[pl.ds(c, 1), :, :][0]
-            S = tensor_sweep.sweep_dot(phi, blk)
+            S = tensor_sweep.sweep_dot(phi, blk, in_kernel=True)
             sph = sph_ref[pl.ds(c, 1), :, :][0, 0]
             valid = valid_ref[pl.ds(c, 1), :, :][0, 0]
             t_eff = tensor_sweep._epilogue(
@@ -522,7 +522,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         # ONE DEFAULT matmul computes HIGHEST's six bf16 passes
         # (tensor_sweep.fused6_dot; ulp-level summation-order diff only)
         return (tensor_sweep.fused6_dot(x, blk) if fused6
-                else tensor_sweep.sweep_dot(x, blk))
+                else tensor_sweep.sweep_dot(x, blk, in_kernel=True))
 
     def _teff_by_type(wt, B, C0, D, E, valid, sph_fn):
         """Effective t over a (n, width) pair block, branching on the type

@@ -220,10 +220,17 @@ def build_cluster_tables(scene: Scene, K: int = 128) -> ClusterTables:
         jnp.zeros((total, 1), jnp.float32),
     ], axis=1)                                   # (total, 16)
     rows16 = hit_fields.reshape(C_reg + 1, K, 16).transpose(0, 2, 1)
-    hi = rows16.astype(jnp.bfloat16)
-    r1 = rows16 - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # reduce_precision, NOT astype round-trips: under the axon stack's
+    # --xla_allow_excess_precision an f32->bf16->f32 round-trip is elided
+    # on TPU and the residuals fold to zero (tensor_sweep.split3_bf16's
+    # round-4 hazard note) — table building is eager today, but this must
+    # stay correct under jit too
+    hi_f = jax.lax.reduce_precision(rows16, 8, 7)
+    r1 = rows16 - hi_f
+    mid_f = jax.lax.reduce_precision(r1, 8, 7)
+    hi = hi_f.astype(jnp.bfloat16)
+    mid = mid_f.astype(jnp.bfloat16)
+    lo = (r1 - mid_f).astype(jnp.bfloat16)
     rows48 = jnp.concatenate([hi, mid, lo], axis=1)   # (C_tot, 48, K)
 
     any_s = (tables.is_sphere & tables.valid_row).any(axis=1)

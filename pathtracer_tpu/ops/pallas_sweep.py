@@ -50,7 +50,7 @@ def _sweep_kernel(phi_ref, a_ref, cols_ref, sph_ref, valid_ref,
     # (RT, FEAT) @ (FEAT, OUTS*tile) on the MXU, f32-exact; the OUTS-major
     # column layout lets us slice the result along lanes (Mosaic cannot
     # reshape-split the lane dimension).
-    S = tensor_sweep.sweep_dot(phi_ref[:], cols_ref[0])
+    S = tensor_sweep.sweep_dot(phi_ref[:], cols_ref[0], in_kernel=True)
     t_eff = tensor_sweep._epilogue(
         S[:, 0:tile], S[:, tile:2 * tile],
         S[:, 2 * tile:3 * tile], S[:, 3 * tile:4 * tile],

@@ -79,7 +79,7 @@ def sweep_mode() -> str:
     return _os.environ.get("PT_SWEEP_PRECISION", "fused6").lower()
 
 
-def sweep_dot(x, y):
+def sweep_dot(x, y, in_kernel: bool = False):
     """The sweep contraction x @ y at the configured precision.
 
     Shared by the XLA scan and every Pallas kernel so the precision story
@@ -87,15 +87,29 @@ def sweep_dot(x, y):
     is what keeps triangle-winner t bit-exact across paths
     (test_cluster/test_tensor_sweep). In "fused6" mode (default) the
     operands are 6-block bf16 expanded on the fly and contracted once; in
-    "bf16x3" the split-product runs explicitly (Mosaic-lowerable);
-    otherwise one dot_general with the enum."""
+    "bf16x3" the split-product runs explicitly; otherwise one dot_general
+    with the enum. ``in_kernel=True`` (Pallas bodies) selects the
+    cast-based splits — required AND safe under Mosaic; XLA callers get
+    the reduce_precision splits (split3_bf16's excess-precision hazard)."""
     if sweep_mode() == "fused6":
-        return fused6_dot(expand6_lhs(x, axis=-1), expand6_rhs(y, axis=0))
+        return fused6_dot(
+            expand6_lhs(x, axis=-1, use_casts=in_kernel),
+            expand6_rhs(y, axis=0, use_casts=in_kernel))
     if sweep_mode() == "bf16x3":
-        xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        yh = y.astype(jnp.bfloat16)
-        yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        if in_kernel:
+            xh = x.astype(jnp.bfloat16)
+            xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            yh = y.astype(jnp.bfloat16)
+            yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        else:
+            # reduce_precision, NOT astype round-trips — see
+            # split3_bf16's excess-precision hazard note
+            xh_f = jax.lax.reduce_precision(x, 8, 7)
+            xh = xh_f.astype(jnp.bfloat16)
+            xl = (x - xh_f).astype(jnp.bfloat16)
+            yh_f = jax.lax.reduce_precision(y, 8, 7)
+            yh = yh_f.astype(jnp.bfloat16)
+            yl = (y - yh_f).astype(jnp.bfloat16)
 
         def d(u, v):
             return jax.lax.dot_general(
@@ -108,15 +122,39 @@ def sweep_dot(x, y):
         preferred_element_type=jnp.float32)
 
 
-def split3_bf16(x):
+def split3_bf16(x, use_casts: bool = False):
     """Exact 3-way bf16 split: hi + mid + lo == x bit-exactly (f32's 24-bit
     mantissa = 3 x 8-bit bf16 chunks; bf16 shares f32's exponent range).
-    Same Dekker-style pattern ops/clusters.py uses for the hit-field rows."""
-    hi = x.astype(jnp.bfloat16)
-    r = x - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    Same Dekker-style pattern ops/clusters.py uses for the hit-field rows.
+
+    HAZARD (round-4 chip finding): the textbook ``x - bf16(x)`` residual is
+    silently DESTROYED on XLA:TPU — the axon stack compiles with
+    ``--xla_allow_excess_precision=true``, which elides the
+    f32->bf16->f32 round-trip, so the residual folds to zero and the
+    6-term split degenerates to a single bf16x1 pass (measured as a +2%
+    image brightness bias from flipped closest-hit winners; CPU XLA does
+    not elide, which is why no CPU test could catch it).
+    ``lax.reduce_precision`` is the semantic rounding op that excess
+    precision cannot remove; the final bf16 converts are then exact
+    (values already bf16-representable), so eliding THEM is harmless.
+
+    ``use_casts=True`` keeps the plain-cast construction for Pallas
+    kernel bodies: Mosaic does NOT lower reduce_precision, and inside
+    Mosaic every convert is a real instruction (no excess-precision
+    elision), so the cast form is both required and safe there. The two
+    forms are bit-identical (round-to-nearest-even either way)."""
+    if use_casts:
+        hi = x.astype(jnp.bfloat16)
+        r = x - hi.astype(jnp.float32)
+        mid = r.astype(jnp.bfloat16)
+        lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+    hi_f = jax.lax.reduce_precision(x, 8, 7)
+    r = x - hi_f
+    mid_f = jax.lax.reduce_precision(r, 8, 7)
+    lo_f = r - mid_f
+    return (hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+            lo_f.astype(jnp.bfloat16))
 
 
 # The "fused6" sweep: one bf16 matmul that computes the SAME six cross
@@ -132,15 +170,15 @@ _FUSED6_LHS = (0, 0, 1, 1, 0, 2)
 _FUSED6_RHS = (0, 1, 0, 1, 2, 0)
 
 
-def expand6_lhs(x, axis=-1):
+def expand6_lhs(x, axis=-1, use_casts: bool = False):
     """bf16 6-block expansion of the lhs (contraction on ``axis``)."""
-    s = split3_bf16(x)
+    s = split3_bf16(x, use_casts=use_casts)
     return jnp.concatenate([s[i] for i in _FUSED6_LHS], axis=axis)
 
 
-def expand6_rhs(x, axis=-1):
+def expand6_rhs(x, axis=-1, use_casts: bool = False):
     """bf16 6-block expansion of the rhs (contraction on ``axis``)."""
-    s = split3_bf16(x)
+    s = split3_bf16(x, use_casts=use_casts)
     return jnp.concatenate([s[i] for i in _FUSED6_RHS], axis=axis)
 
 
