@@ -53,8 +53,8 @@ def _collective_bytes(hlo_text: str) -> dict:
     dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "bf16": 2,
                 "f16": 2, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
     for m in re.finditer(
-            r"(\w+)\[([\d,]*)\][^=]*=\s*(all-gather|all-reduce|"
-            r"reduce-scatter|collective-permute|all-to-all)", hlo_text):
+            r"=\s*(\w+)\[([\d,]*)\]\S*\s+(all-gather|all-reduce|"
+            r"reduce-scatter|collective-permute|all-to-all)\(", hlo_text):
         dt, dims, op = m.group(1), m.group(2), m.group(3)
         n = 1
         for d in dims.split(","):
@@ -106,14 +106,15 @@ def run_proxy(args) -> int:
 
     def shard_counts(interleave: bool) -> list:
         counts = []
-        rs = rows.reshape(-1, chunk)
-        cs = cols.reshape(-1, chunk)
+        rs = np.asarray(rows).reshape(-1, chunk)
+        cs = np.asarray(cols).reshape(-1, chunk)
         for d in range(n_dev):
             if interleave:
-                sel = [k * rays_size + d for k in range(per_dev_chunks)]
+                sel = np.array([k * rays_size + d
+                                for k in range(per_dev_chunks)])
             else:
-                sel = list(range(d * per_dev_chunks,
-                                 (d + 1) * per_dev_chunks))
+                sel = np.arange(d * per_dev_chunks,
+                                (d + 1) * per_dev_chunks)
             acc = renderer_mod.render_sum(
                 scene, None, cam, jax.random.PRNGKey(0),
                 rs[sel].reshape(-1), cs[sel].reshape(-1),
