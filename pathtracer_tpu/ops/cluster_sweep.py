@@ -1280,7 +1280,13 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # must be aligned to tiling (8)" — hit at C_reg >= 129, e.g. the
         # 20k-prim scaling scenes); with an untiled leading dim the
         # per-chunk DMA is a whole tiled block (the cols-table pattern).
-        M_pad = -(-(M + n_sent) // 128) * 128
+        # Pad to whole 8x128 SUBLANE TILES, not just 128 lanes: the
+        # streamed march FAULTED the TPU worker at runtime for every
+        # scene above bunny scale (bisected at 79k prims, r4; the kernel
+        # had only ever run on chip with a single 128-slot order row) —
+        # the suspected cause is the (M_pad//128, 128) per-chunk order
+        # DMA crossing sublane tiles unaligned once M_pad//128 > 1.
+        M_pad = -(-(M + n_sent) // 1024) * 1024
         extra = M_pad - (M + n_sent)
         ids_st = jnp.concatenate(
             [ids, jnp.zeros((n_chunks, extra), jnp.int32)],

@@ -81,7 +81,23 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
             will_stream = (bytes64 > budget
                            or os.environ.get("PT_CLUSTER_STREAM") == "1")
             K = 128 if will_stream else 64
-        ct = build_cluster_tables(scene, K=K)
+        # Build the tables ON HOST: they are one-time preprocessing built
+        # with dozens of eager ops, and the tunnel chip's ~24 ms per-call
+        # latency turns that into tens of minutes at 10^5+ prims (a 79k
+        # build that takes 6 s on host never finished in 45 min eagerly on
+        # the chip, r4). The result is shipped to the default device once.
+        import numpy as np
+        if jax.default_backend() != "cpu":
+            cpu0 = jax.devices("cpu")[0]
+            host_scene = jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "dtype") else x,
+                scene)
+            with jax.default_device(cpu0):
+                ct = jax.block_until_ready(
+                    build_cluster_tables(host_scene, K=K))
+            ct = jax.device_put(ct, jax.devices()[0])
+        else:
+            ct = build_cluster_tables(scene, K=K)
         return make_cluster_closest_hit(ct, t_min, **kw), ct.scene
     if accel == "tensor":
         from pathtracer_tpu.ops.tensor_sweep import make_tensor_closest_hit
