@@ -371,7 +371,8 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                   wide, pipe, grouped, split=False, C_tot=0, stream=False,
-                  knock="", fixwin=0):
+                  knock="", fixwin=0, rows_cond=False):
+    _ROWS_COND = rows_cond
     """In-kernel cluster march for ray chunk i.
 
     Walks the chunk's regular clusters in ascending chunk-entry order
@@ -726,20 +727,38 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
             # matmul); keep local_j alive through glob above
             pass
         elif with_rows:
-            oh_t = (jax.lax.broadcasted_iota(jnp.int32, (wide * K, n), 0)
-                    == local_j[None, :]).astype(jnp.bfloat16)
-            if stream:
-                rbuf = rows_buf[pl.ds(jax.lax.rem(p, 2), 1)][0]
-                blk48 = jnp.concatenate(
-                    [rbuf[w] for w in range(wide)], axis=1)
+            def extract_rows(r_prev):
+                oh_t = (jax.lax.broadcasted_iota(jnp.int32,
+                                                 (wide * K, n), 0)
+                        == local_j[None, :]).astype(jnp.bfloat16)
+                if stream:
+                    rbuf = rows_buf[pl.ds(jax.lax.rem(p, 2), 1)][0]
+                    blk48 = jnp.concatenate(
+                        [rbuf[w] for w in range(wide)], axis=1)
+                else:
+                    blk48 = jnp.concatenate(
+                        [rows_ref[pl.ds(c, 1), :, :][0] for c in cs],
+                        axis=1)                       # (48, W*K)
+                new_rows = jax.lax.dot_general(
+                    blk48, oh_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (48, n)
+                return jnp.where(better[None, :], new_rows, r_prev)
+
+            if _ROWS_COND:
+                # Skip the whole extraction (one-hot build + 48xWK matmul
+                # + select) when NO lane improved this window — common on
+                # every window after a chunk's first (the march visits
+                # clusters in ascending entry order, so most lanes lock
+                # their winner early). Values are identical: with no
+                # improved lane every select keeps r_prev. The cond is
+                # per-window, like the stop check itself — unlike the
+                # per-visit slab guard it wraps only the rows tail, so the
+                # sweep matmul pipeline is untouched (PT_CLUSTER_ROWSCOND,
+                # measured on chip before flipping any default).
+                r_acc = jax.lax.cond(jnp.any(better), extract_rows,
+                                     lambda r_prev: r_prev, r_acc)
             else:
-                blk48 = jnp.concatenate(
-                    [rows_ref[pl.ds(c, 1), :, :][0] for c in cs],
-                    axis=1)                           # (48, W*K)
-            new_rows = jax.lax.dot_general(
-                blk48, oh_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (48, n)
-            r_acc = jnp.where(better[None, :], new_rows, r_acc)
+                r_acc = extract_rows(r_acc)
         out = (jnp.where(better, local_t, t_acc),
                jnp.where(better, glob, b_acc),
                r_acc)
@@ -1190,7 +1209,9 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                                guard=guard, fused6=fused6, wide=wide,
                                pipe=pipe, grouped=grouped, split=split,
                                C_tot=C_tot, stream=stream, knock=knock,
-                               fixwin=fixwin)
+                               fixwin=fixwin,
+                               rows_cond=_os.environ.get(
+                                   "PT_CLUSTER_ROWSCOND", "0") == "1")
     n_pref = 1 if stream else (4 if guard else 3)
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi

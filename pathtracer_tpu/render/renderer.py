@@ -38,14 +38,85 @@ def _pixel_grid(width: int, height: int):
     return rows, cols
 
 
-def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
+def _cluster_K(n_prims: int) -> int:
+    """Cluster size for accel="cluster" (PT_CLUSTER_K overrides).
+
+    K=64 since round 4: at equal window lanes (W=16 x K=64 vs W=8 x K=128),
+    half-size clusters cull twice as selectively — +15% whole-render
+    same-process (408 -> 354 ms, bunny bench). K<128 needs the split-table
+    grouped march, which the STREAMED march does not support — scenes that
+    will stream (tables above the resident budget, or PT_CLUSTER_STREAM=1
+    forced) build K=128 tables instead (matching ops/cluster_sweep's
+    auto-stream rule)."""
+    import os
+    kk = os.environ.get("PT_CLUSTER_K")
+    if kk:
+        return int(kk)
+    budget = float(os.environ.get("PT_CLUSTER_RESIDENT_MB",
+                                  "12")) * 1024 * 1024
+    n_cl64 = -(-n_prims // 64)
+    bytes64 = n_cl64 * (12 * 4 * 64 * 4 + 48 * 64 * 2 + 2 * 64 * 4)
+    will_stream = (bytes64 > budget
+                   or os.environ.get("PT_CLUSTER_STREAM") == "1")
+    return 128 if will_stream else 64
+
+
+# Bounded host-side cache of prebuilt cluster tables: bench/CLI call the
+# jitted renderer several times with the SAME scene object — rebuild once.
+_CT_CACHE: list = []  # [(id(scene), K, scene_ref, ct)] — strong refs, max 4
+
+
+def prepare_cluster_tables(scene: Scene, accel: str = None):
+    """Eagerly build cluster tables ON HOST for a concrete scene, or return
+    None when the resolved accel isn't "cluster" (callers then follow the
+    traced path).
+
+    Host build matters at scale: the tables are one-time preprocessing made
+    of dozens of eager ops, and the tunnel chip's ~24 ms per-call latency
+    turns that into tens of minutes at 10^5+ prims (a 79k build that takes
+    6 s on host never finished in 45 min eagerly on the chip, r4). Tracing
+    the build into the jitted render is no better — the axon remote compile
+    scales hard with program size (docs/DESIGN.md). So: build with numpy on
+    the host CPU backend, ship the result to the device once, and pass it
+    into the jitted render as an ARGUMENT (never a captured constant —
+    embedded multi-MB constants blow up compile time the same way)."""
+    if isinstance(scene.prim_type, jax.core.Tracer):
+        return None
+    if config_mod.resolve_accel(accel, scene.num_prims) != "cluster":
+        return None
+    from pathtracer_tpu.ops.cluster_sweep import build_cluster_tables
+    import numpy as np
+    K = _cluster_K(int(scene.num_prims))
+    for sid, k_, _ref, ct in _CT_CACHE:
+        if sid == id(scene) and k_ == K:
+            return ct
+    if jax.default_backend() != "cpu":
+        cpu0 = jax.devices("cpu")[0]
+        host_scene = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "dtype") else x, scene)
+        with jax.default_device(cpu0):
+            ct = jax.block_until_ready(
+                build_cluster_tables(host_scene, K=K))
+        ct = jax.device_put(ct, jax.devices()[0])
+    else:
+        ct = build_cluster_tables(scene, K=K)
+    _CT_CACHE.append((id(scene), K, scene, ct))
+    del _CT_CACHE[:-4]
+    return ct
+
+
+def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None,
+                  ct=None):
     """Pick the closest-hit query: the MXU tensor sweep (accel="tensor",
     TPU default), threaded-BVH traversal when a BVH is provided, or the
     linear scan (render_manager.h:71-84 fallback).
 
     accel="cluster" additionally *reorders the scene* (morton clustering,
     ops/clusters.py) and returns (closest, reordered_scene) — callers shade
-    with the returned scene so hit indices stay consistent."""
+    with the returned scene so hit indices stay consistent. ``ct`` is an
+    optional prebuilt ClusterTables (prepare_cluster_tables — the host-built
+    fast path); without it the build is traced (fine for small scenes and
+    tracer callers like the sharded/differentiable paths)."""
     accel = config_mod.resolve_accel(accel, scene.num_prims)
     if accel == "cluster":
         import os
@@ -63,41 +134,8 @@ def _make_closest(scene: Scene, bvh, t_min: float, accel: str = None):
         st = os.environ.get("PT_CLUSTER_STRATEGY")
         if st:
             kw["strategy"] = st
-        # K=64 since round 4: at equal window lanes (W=16 x K=64 vs
-        # W=8 x K=128), half-size clusters cull twice as selectively —
-        # +15% whole-render same-process (408 -> 354 ms, bunny bench).
-        # K<128 needs the split-table grouped march, which the STREAMED
-        # march does not support — scenes that will stream (tables above
-        # the resident budget, or PT_CLUSTER_STREAM=1 forced) build K=128
-        # tables instead (matching ops/cluster_sweep's auto-stream rule).
-        kk = os.environ.get("PT_CLUSTER_K")
-        if kk:
-            K = int(kk)
-        else:
-            budget = float(os.environ.get("PT_CLUSTER_RESIDENT_MB",
-                                          "12")) * 1024 * 1024
-            n_cl64 = -(-int(scene.num_prims) // 64)
-            bytes64 = n_cl64 * (12 * 4 * 64 * 4 + 48 * 64 * 2 + 2 * 64 * 4)
-            will_stream = (bytes64 > budget
-                           or os.environ.get("PT_CLUSTER_STREAM") == "1")
-            K = 128 if will_stream else 64
-        # Build the tables ON HOST: they are one-time preprocessing built
-        # with dozens of eager ops, and the tunnel chip's ~24 ms per-call
-        # latency turns that into tens of minutes at 10^5+ prims (a 79k
-        # build that takes 6 s on host never finished in 45 min eagerly on
-        # the chip, r4). The result is shipped to the default device once.
-        import numpy as np
-        if jax.default_backend() != "cpu":
-            cpu0 = jax.devices("cpu")[0]
-            host_scene = jax.tree_util.tree_map(
-                lambda x: np.asarray(x) if hasattr(x, "dtype") else x,
-                scene)
-            with jax.default_device(cpu0):
-                ct = jax.block_until_ready(
-                    build_cluster_tables(host_scene, K=K))
-            ct = jax.device_put(ct, jax.devices()[0])
-        else:
-            ct = build_cluster_tables(scene, K=K)
+        if ct is None:
+            ct = build_cluster_tables(scene, K=_cluster_K(scene.num_prims))
         return make_cluster_closest_hit(ct, t_min, **kw), ct.scene
     if accel == "tensor":
         from pathtracer_tpu.ops.tensor_sweep import make_tensor_closest_hit
@@ -139,7 +177,7 @@ def _stratum_grid(spp: int) -> int:
 def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
                rows, cols, cfg: RenderConfig, spp: int,
                sample_offset=0, differentiable: bool = False,
-               with_stats: bool = False):
+               with_stats: bool = False, ct=None):
     """Radiance SUM over ``spp`` samples for a flat pixel wavefront.
 
     The shared core of the single-chip renderer, the sharded renderer
@@ -168,7 +206,7 @@ def render_sum(scene: Scene, bvh, cam: camera_mod.Camera, base_key,
     w_inv = 1.0 / cfg.width
     h_inv = 1.0 / cfg.height
 
-    closest, scene = _make_closest(scene, bvh, cfg.t_min, cfg.accel)
+    closest, scene = _make_closest(scene, bvh, cfg.t_min, cfg.accel, ct=ct)
     # stratification grid (cfg.stratify): sample s jitters inside stratum
     # (s mod m^2) of an m x m sub-pixel grid — same marginal distribution,
     # lower variance. m is the largest integer with m^2 | spp so every
@@ -256,10 +294,10 @@ def make_renderer(cfg: RenderConfig, with_bvh: bool,
     chunk = min(cfg.ray_chunk, n_pixels)
     rows0, cols0 = padded_pixel_grid(cfg, chunk)
 
-    def render(scene: Scene, bvh, cam: camera_mod.Camera, seed):
+    def render_core(scene: Scene, bvh, cam: camera_mod.Camera, seed, ct):
         base_key = jax.random.PRNGKey(seed)
         acc = render_sum(scene, bvh, cam, base_key, rows0, cols0, cfg,
-                         cfg.spp, with_stats=with_stats)
+                         cfg.spp, with_stats=with_stats, ct=ct)
         if with_stats:
             acc, n_exec = acc
         # gamma-2 writeback (main.cu:290-293)
@@ -267,7 +305,17 @@ def make_renderer(cfg: RenderConfig, with_bvh: bool,
         img = img.reshape(cfg.height, cfg.width, 3)
         return (img, n_exec) if with_stats else img
 
-    return jax.jit(render)
+    jitted = jax.jit(render_core)
+
+    def render(scene: Scene, bvh, cam: camera_mod.Camera, seed):
+        # cluster tables are built eagerly ON HOST (tens of minutes if
+        # eager on the tunnel, compile-time blowup if traced at 10^5+
+        # prims) and ride into the jitted core as an ARGUMENT; ct=None
+        # (non-cluster accels) falls through to the traced paths
+        ct = prepare_cluster_tables(scene, cfg.accel)
+        return jitted(scene, bvh, cam, seed, ct)
+
+    return render
 
 
 def _experiment_env_sig() -> tuple:

@@ -93,13 +93,22 @@ def main():
                            accel="cluster", ray_chunk=args.chunk,
                            scene="bunny")
         render = make_renderer(cfg, with_bvh=False)
+        # Force a VALUE, not block_until_ready: under PT_CLUSTER_PARSEM
+        # (default-on) the axon tunnel's block_until_ready returns before
+        # execution completes (the r3 44,632 Mrays/s artifact). An 8-byte
+        # host reduction cannot lie — same discipline as bench.py.
+        import numpy as _np
+
+        def force(x):
+            return float(_np.asarray(jnp.sum(x)))
+
         t0 = time.perf_counter()
-        img = jax.block_until_ready(render(scene, None, cam, 0))
+        force(render(scene, None, cam, 0))
         tc = time.perf_counter() - t0
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            img = jax.block_until_ready(render(scene, None, cam, 0))
+            force(render(scene, None, cam, 0))
             best = min(best, time.perf_counter() - t0)
         print(f"{name}: compile+1 {tc:.0f}s steady(min of 3) "
               f"{best*1e3:.1f} ms  {rays/best/1e6:.2f} Mrays/s", flush=True)

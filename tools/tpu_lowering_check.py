@@ -79,6 +79,26 @@ def main():
          dict(PT_CLUSTER_STREAM="1", PT_CLUSTER_WIDE="8",
               PT_CLUSTER_GROUPED="1"),
          dict(with_rows=True, extras=extras)),
+        # round-4 wave 2: conditional winner-rows extraction at the
+        # production default (K=64 x W=16 split windows), and the
+        # smaller-window ladder (fewer lanes per window at fixed K)
+        ("k64_w16_rowscond", 64,
+         dict(PT_CLUSTER_K="64", PT_CLUSTER_WIDE="16",
+              PT_CLUSTER_GROUPED="1", PT_CLUSTER_SPLIT="1",
+              PT_CLUSTER_ROWSCOND="1"),
+         dict(with_rows=True, extras=extras)),
+        ("k64_w8_rows", 64,
+         dict(PT_CLUSTER_K="64", PT_CLUSTER_WIDE="8",
+              PT_CLUSTER_GROUPED="1", PT_CLUSTER_SPLIT="1"),
+         dict(with_rows=True, extras=extras)),
+        ("k64_w4_rows", 64,
+         dict(PT_CLUSTER_K="64", PT_CLUSTER_WIDE="4",
+              PT_CLUSTER_GROUPED="1", PT_CLUSTER_SPLIT="1"),
+         dict(with_rows=True, extras=extras)),
+        ("stream_rowscond", 128,
+         dict(PT_CLUSTER_STREAM="1", PT_CLUSTER_WIDE="8",
+              PT_CLUSTER_GROUPED="1", PT_CLUSTER_ROWSCOND="1"),
+         dict(with_rows=True, extras=extras)),
     ]
     failed = 0
     for name, K, env, kw in combos:
