@@ -248,6 +248,21 @@ def test_march_rows_match_scene_rows():
                                   packed[np.asarray(idx)[hit]])
 
 
+def test_march_rows_cond_bit_identical(monkeypatch):
+    """PT_CLUSTER_ROWSCOND=1 (skip the winner-rows extraction matmul on
+    windows where no lane improved) is bit-identical to the default: a
+    window with no improved lane contributes nothing through the selects,
+    so skipping it entirely changes no value."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=5)
+    ct = build_cluster_tables(scene, K=64)
+    ref = cluster_march(ct, o, d, T_MIN, with_rows=True)
+    monkeypatch.setenv("PT_CLUSTER_ROWSCOND", "1")
+    got = cluster_march(ct, o, d, T_MIN, with_rows=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
 def test_render_rows_path_matches_gather_path():
     """accel=cluster renders identically whether hit rows come from the
     kernel or the scene gather (integrator picks the kernel path)."""
