@@ -48,7 +48,18 @@ def subdivide_faces(verts, faces, levels: int = 1):
 def bunny_world(obj_path: str = BUNNY_OBJ, scale: float = 20.0,
                 material: str = "lambertian",
                 subdivide: int = 0) -> Tuple[Scene, Camera]:
-    verts, faces = load_obj(obj_path)
+    if os.path.exists(obj_path):
+        verts, faces = load_obj(obj_path)
+    else:
+        # standalone checkout (no reference tree): procedural stand-in
+        # keeps the flagship mesh pipeline runnable; images differ from
+        # the Stanford bunny (scene/standalone_assets.py)
+        import sys
+        from pathtracer_tpu.scene.standalone_assets import bunny_standin
+        print(f"bunny_world: {obj_path} not found - using the procedural "
+              "stand-in mesh (set PT_BUNNY_OBJ for the Stanford bunny)",
+              file=sys.stderr)
+        verts, faces = bunny_standin()
     verts = verts * scale
     if subdivide:
         verts, faces = subdivide_faces(verts, faces, subdivide)

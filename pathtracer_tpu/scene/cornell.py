@@ -21,6 +21,17 @@ MARBLE_PNG = os.path.join(os.path.dirname(os.path.dirname(
     "assets", "textures", "marble.png")
 
 
+def _cornell_part(obj_dir: str, name: str):
+    """(verts, faces) for a Cornell part: the reference's OBJ when present,
+    else the built-in canonical data (identical geometry — both are the
+    published Cornell box dataset; scene/standalone_assets.py)."""
+    path = os.path.join(obj_dir, name + ".obj")
+    if os.path.exists(path):
+        return load_obj(path)
+    from pathtracer_tpu.scene.standalone_assets import cornell_mesh
+    return cornell_mesh(name)
+
+
 def add_cornell_room(b: SceneBuilder, obj_dir: str = CORNELL_DIR):
     """Add the Cornell room meshes (floor+ceiling+back, red left, green
     right, emissive ceiling light) to a builder. Returns the white material
@@ -31,7 +42,7 @@ def add_cornell_room(b: SceneBuilder, obj_dir: str = CORNELL_DIR):
     light = b.add_emissive((15.0, 15.0, 15.0))
     for name, mat in (("floor", white), ("left", red), ("right", green),
                       ("light", light)):
-        verts, faces = load_obj(os.path.join(obj_dir, name + ".obj"))
+        verts, faces = _cornell_part(obj_dir, name)
         b.add_mesh(verts, faces, mat)
     return white
 
@@ -47,7 +58,7 @@ def cornell_box(obj_dir: str = CORNELL_DIR, aspect: float = 1.0,
     white = add_cornell_room(b, obj_dir)
 
     def add(name, mat):
-        verts, faces = load_obj(os.path.join(obj_dir, name + ".obj"))
+        verts, faces = _cornell_part(obj_dir, name)
         b.add_mesh(verts, faces, mat)
 
     if variant == "full":
