@@ -38,6 +38,9 @@ def main():
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--spp", type=int, default=8)
     p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--chunk", type=int, default=57600,
+                   help="cfg.ray_chunk for --envs/--combos/--sweep-modes "
+                        "variants (so env knobs compose with a chunk size)")
     args = p.parse_args()
 
     import jax
@@ -129,7 +132,8 @@ def _run_variants(variants, env_saved, args, imgs, orig):
 
         cfg = RenderConfig(width=args.width, height=args.height,
                            spp=args.spp, max_depth=args.depth,
-                           accel="cluster", ray_chunk=v.get("chunk", 57600),
+                           accel="cluster",
+                           ray_chunk=v.get("chunk", args.chunk),
                            scene="bunny")
         render = make_renderer(cfg, with_bvh=False)
         t0 = time.perf_counter()
