@@ -100,7 +100,11 @@ def main() -> int:
                    choices=["auto", "cluster", "tensor", "pallas", "bvh",
                             "brute"])
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--ray-chunk", type=int, default=57600)
+    # 115200 since round 4: halving the query count per render cut the
+    # per-query XLA fixed cost (cull + binning sort + launch) enough for
+    # +25% same-process (417 -> 334 ms, tpu_ab_guard --chunks); 230400
+    # fails the remote compile (SMEM order-table wall)
+    p.add_argument("--ray-chunk", type=int, default=115200)
     p.add_argument("--subdivide", type=int, default=0,
                    help="bunny only: 4:1 midpoint subdivision levels "
                         "(4 -> 1.27M tris; the HBM-scale bench row — the "

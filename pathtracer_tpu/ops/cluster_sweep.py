@@ -753,8 +753,11 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                 # improved lane every select keeps r_prev. The cond is
                 # per-window, like the stop check itself — unlike the
                 # per-visit slab guard it wraps only the rows tail, so the
-                # sweep matmul pipeline is untouched (PT_CLUSTER_ROWSCOND,
-                # measured on chip before flipping any default).
+                # sweep matmul pipeline is untouched. DEFAULT-ON since
+                # round 4: +12-14% whole-render same-process on the bunny
+                # bench (376.3 -> 337.2 ms and 396.3 -> 348.3 ms in two
+                # independent processes), image bit-identical on chip
+                # (PT_CLUSTER_ROWSCOND=0 restores the unconditional form).
                 r_acc = jax.lax.cond(jnp.any(better), extract_rows,
                                      lambda r_prev: r_prev, r_acc)
             else:
@@ -1211,7 +1214,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                                C_tot=C_tot, stream=stream, knock=knock,
                                fixwin=fixwin,
                                rows_cond=_os.environ.get(
-                                   "PT_CLUSTER_ROWSCOND", "0") == "1")
+                                   "PT_CLUSTER_ROWSCOND", "1") == "1")
     n_pref = 1 if stream else (4 if guard else 3)
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi

@@ -256,8 +256,9 @@ def test_march_rows_cond_bit_identical(monkeypatch):
     from pathtracer_tpu.ops.cluster_sweep import cluster_march
     scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=5)
     ct = build_cluster_tables(scene, K=64)
+    monkeypatch.setenv("PT_CLUSTER_ROWSCOND", "0")  # unconditional form
     ref = cluster_march(ct, o, d, T_MIN, with_rows=True)
-    monkeypatch.setenv("PT_CLUSTER_ROWSCOND", "1")
+    monkeypatch.setenv("PT_CLUSTER_ROWSCOND", "1")  # the default
     got = cluster_march(ct, o, d, T_MIN, with_rows=True)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

@@ -58,8 +58,16 @@ def main():
     import numpy as np
     imgs = {}
     if args.envs is not None:
-        variants = [("env[" + v + "]", {"env": v})
-                    for v in args.envs.split(",")]
+        # the pseudo-key CHUNK=N sets that variant's cfg.ray_chunk (so a
+        # whole default-set can be A/B'd against another in one process)
+        variants = []
+        for v in args.envs.split(","):
+            spec = {"env": ";".join(kv for kv in v.split(";")
+                                    if not kv.startswith("CHUNK="))}
+            for kv in v.split(";"):
+                if kv.startswith("CHUNK="):
+                    spec["chunk"] = int(kv.split("=", 1)[1])
+            variants.append(("env[" + v + "]", spec))
     elif args.sweep_modes:
         variants = [("mode=" + m, {"sweep_mode": m})
                     for m in args.sweep_modes.split(",")]
