@@ -100,11 +100,13 @@ def main() -> int:
                    choices=["auto", "cluster", "tensor", "pallas", "bvh",
                             "brute"])
     p.add_argument("--iters", type=int, default=3)
-    # 115200 since round 4: halving the query count per render cut the
-    # per-query XLA fixed cost (cull + binning sort + launch) enough for
-    # +25% same-process (417 -> 334 ms, tpu_ab_guard --chunks); 230400
-    # fails the remote compile (SMEM order-table wall)
-    p.add_argument("--ray-chunk", type=int, default=115200)
+    # Chunk-size economics (r4 wave-2 factorial, same-process): with the
+    # conditional rows extraction ON, 57600 and 115200 land within noise
+    # (334.9 vs ~349 ms) — the two levers cut the same per-query fixed
+    # cost pool and saturate at ~335 ms; 230400 needs PT_CLUSTER_ORDDMA
+    # (SMEM order-table wall) and buys nothing further. Default stays at
+    # the VMEM-friendlier 57600.
+    p.add_argument("--ray-chunk", type=int, default=57600)
     p.add_argument("--subdivide", type=int, default=0,
                    help="bunny only: 4:1 midpoint subdivision levels "
                         "(4 -> 1.27M tris; the HBM-scale bench row — the "

@@ -371,7 +371,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                   wide, pipe, grouped, split=False, C_tot=0, stream=False,
-                  knock="", fixwin=0, rows_cond=False):
+                  knock="", fixwin=0, rows_cond=False, orddma=False):
     _ROWS_COND = rows_cond
     """In-kernel cluster march for ray chunk i.
 
@@ -420,11 +420,34 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
         (ids_ref, ents_ref, ctype_ref, cbox_ref, phi_ref, a_ref,
          gate_ref, od_ref, cols_ref, sph_ref, valid_ref, rows_ref,
          t_ref, best_ref, rows_out, win_ref) = refs
+    elif orddma:
+        # resident tables + HBM order rows (the streamed march's order-DMA
+        # pattern without streaming the cols): lifts the n_chunks x M SMEM
+        # scalar-prefetch wall, unlocking whole-image chunks (the axon
+        # remote compile aborts around n_chunks x M x 8 B ~ 1.25 MB)
+        (ctype_ref, ids_hbm, ents_hbm, phi_ref, a_ref,
+         gate_ref, cols_ref, sph_ref, valid_ref, rows_ref,
+         t_ref, best_ref, rows_out, win_ref, ids_s, ents_s,
+         tab_sem) = refs
+        ids_ref = ents_ref = None
     else:
         (ids_ref, ents_ref, ctype_ref, phi_ref, a_ref,
          gate_ref, cols_ref, sph_ref, valid_ref, rows_ref,
          t_ref, best_ref, rows_out, win_ref) = refs
     i = pl.program_id(0)
+    if orddma:
+        cp_i = pltpu.make_async_copy(ids_hbm.at[i], ids_s, tab_sem.at[0])
+        cp_e = pltpu.make_async_copy(ents_hbm.at[i], ents_s, tab_sem.at[1])
+        cp_i.start()
+        cp_e.start()
+        cp_i.wait()
+        cp_e.wait()
+
+        def ids_at(j):
+            return ids_s[j // 128, j % 128]
+
+        def ents_at(j):
+            return ents_s[j // 128, j % 128]
     if stream:
         # chunk i's march order -> SMEM (scalar reads in cond/body below)
         cp_i = pltpu.make_async_copy(ids_hbm.at[i], ids_s, tab_sem.at[0])
@@ -472,7 +495,7 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                     pltpu.make_async_copy(
                         rows_hbm.at[0], rows_buf.at[slot, w],
                         rows_sem.at[slot]).wait()
-    else:
+    elif not orddma:
         def ids_at(j):
             return ids_ref[i, j]
 
@@ -1207,15 +1230,27 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     fixwin = int(_os.environ.get("PT_CLUSTER_FIXWIN", "0"))
     if fixwin:
         fixwin = max(1, min(fixwin, M // max(wide, 1)))
+    # HBM order rows for the RESIDENT march (PT_CLUSTER_ORDDMA, default
+    # auto): the scalar-prefetch ids/ents tables live in SMEM and grow as
+    # n_chunks x (M + sentinels) x 8 B — the axon remote compile aborts
+    # around ~1.25 MB (chunk 230,400 at bunny scale, r4). Above a
+    # conservative budget the order tables move to HBM rank-3 blocks and
+    # each chunk DMAs its own rows into SMEM scratch at chunk start — the
+    # streamed march's order pattern with the cols still VMEM-resident.
+    orddma_env = _os.environ.get("PT_CLUSTER_ORDDMA", "auto")
+    orddma = (not stream and not guard
+              and (orddma_env == "1"
+                   or (orddma_env in ("auto", "")
+                       and n_chunks * (M + n_sent) * 8 > 640 * 1024)))
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
                                guard=guard, fused6=fused6, wide=wide,
                                pipe=pipe, grouped=grouped, split=split,
                                C_tot=C_tot, stream=stream, knock=knock,
-                               fixwin=fixwin,
+                               fixwin=fixwin, orddma=orddma,
                                rows_cond=_os.environ.get(
                                    "PT_CLUSTER_ROWSCOND", "1") == "1")
-    n_pref = 1 if stream else (4 if guard else 3)
+    n_pref = 1 if (stream or orddma) else (4 if guard else 3)
     feat_in = 6 * FEAT if fused6 else FEAT
     phi_in = tensor_sweep.expand6_lhs(phi) if fused6 else phi
     if split:
@@ -1280,18 +1315,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                .reshape(6, n_chunks, ray_tile).transpose(1, 0, 2))
         in_specs.append(blk((1, 6, ray_tile)))
         operands.append(od3)
-    if stream:
-        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
-        # ids/ents rows + the big tables stay in HBM; the kernel DMAs
-        # chunk i's order rows into SMEM scratch and visited clusters
-        # into a double-buffered VMEM scratch (see _march_kernel)
-        in_specs = [any_spec, any_spec] + in_specs + [
-            any_spec,                                 # cols
-            blk((C_tot, 1, K), (0, 0, 0)),            # is_sphere
-            blk((C_tot, 1, K), (0, 0, 0)),            # valid_row
-            (any_spec if with_rows
-             else blk((1, 48, K), (0, 0, 0))),        # rows
-        ]
+    if stream or orddma:
         # Device Mosaic requires per-row DMA slices to be whole 128-lane
         # tiles ("Slice shape along dimension 1 must be aligned to tiling
         # (128)"), so pad the order tables' minor dim up to 128: extra ids
@@ -1318,13 +1342,27 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         ents_st = jnp.concatenate(
             [ents, jnp.full((n_chunks, extra), BIG, jnp.float32)],
             axis=1).reshape(n_chunks, M_pad // 128, 128)
-        operands = [ids_st, ents_st] + operands + [
-            cols_in, ct.is_sphere, ct.valid_row,
-            ct.rows if with_rows else ct.rows[:1]]
-        scratch_shapes = [
+        ord_scratch = [
             pltpu.SMEM((M_pad // 128, 128), jnp.int32),   # ids_s
             pltpu.SMEM((M_pad // 128, 128), jnp.float32),  # ents_s
             pltpu.SemaphoreType.DMA((2,)),            # tab_sem
+        ]
+    if stream:
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+        # ids/ents rows + the big tables stay in HBM; the kernel DMAs
+        # chunk i's order rows into SMEM scratch and visited clusters
+        # into a double-buffered VMEM scratch (see _march_kernel)
+        in_specs = [any_spec, any_spec] + in_specs + [
+            any_spec,                                 # cols
+            blk((C_tot, 1, K), (0, 0, 0)),            # is_sphere
+            blk((C_tot, 1, K), (0, 0, 0)),            # valid_row
+            (any_spec if with_rows
+             else blk((1, 48, K), (0, 0, 0))),        # rows
+        ]
+        operands = [ids_st, ents_st] + operands + [
+            cols_in, ct.is_sphere, ct.valid_row,
+            ct.rows if with_rows else ct.rows[:1]]
+        scratch_shapes = ord_scratch + [
             pltpu.VMEM((2, wide, feat_in, OUTS * K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),            # cols_sem
         ]
@@ -1339,6 +1377,28 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch_shapes,
+        )
+        prefetch = [ct.ctype]
+    elif orddma:
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+        # order rows in HBM (per-chunk SMEM-scratch DMA), cluster tables
+        # VMEM-resident exactly like the default march
+        in_specs = [any_spec, any_spec] + in_specs + [
+            blk((OUTS * C_tot, feat_in, K) if split
+                else (C_tot, feat_in, OUTS * K), (0, 0, 0)),
+            blk((C_tot, 1, K), (0, 0, 0)),
+            blk((C_tot, 1, K), (0, 0, 0)),
+            blk((C_tot if with_rows else 1, 48, K), (0, 0, 0)),
+        ]
+        operands = [ids_st, ents_st] + operands + [
+            cols_in, ct.is_sphere, ct.valid_row,
+            ct.rows if with_rows else ct.rows[:1]]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_pref,
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=ord_scratch,
         )
         prefetch = [ct.ctype]
     else:
@@ -1408,8 +1468,14 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         # axon tunnel's block_until_ready returns before execution
         # completes (this produced the r3 44,632 Mrays/s artifact) — time
         # by materializing an output VALUE (bench.py does).
-        if (_os.environ.get("PT_CLUSTER_PARSEM", "1") == "1"
-                and not stream):
+        # "1" (default): on unless the kernel manages cross-step scratch
+        # DMAs manually (stream, orddma — parallel semantics do not
+        # guarantee in-order steps, ADVICE r3). "2": force-on even there —
+        # an experiment knob; the body empirically still runs steps in
+        # order on this backend, but verify images per run.
+        parsem = _os.environ.get("PT_CLUSTER_PARSEM", "1")
+        if ((parsem == "1" and not stream and not orddma)
+                or parsem == "2"):
             params["dimension_semantics"] = ("parallel",)
         vmem_mb = int(_os.environ.get("PT_CLUSTER_VMEM_MB", "0"))
         if vmem_mb:

@@ -353,6 +353,11 @@ def test_march_wide_variants_bit_identical(monkeypatch):
                 {"PT_CLUSTER_STREAM": "1", "PT_CLUSTER_WIDE": "1"},
                 {"PT_CLUSTER_STREAM": "1", "PT_CLUSTER_WIDE": "4",
                  "PT_CLUSTER_GROUPED": "1"},
+                # HBM order rows, cluster tables resident (the SMEM
+                # scalar-prefetch wall lift) — same order, same arithmetic
+                {"PT_CLUSTER_ORDDMA": "1"},
+                {"PT_CLUSTER_ORDDMA": "1", "PT_CLUSTER_WIDE": "4",
+                 "PT_CLUSTER_GROUPED": "1"},
                 # chunking-invariance: a 256-ray tile regroups chunks but
                 # the march still finds each ray's exact min (same winning
                 # visit, same arithmetic)
@@ -364,7 +369,8 @@ def test_march_wide_variants_bit_identical(monkeypatch):
         # the whole test, so without this a variant would inherit the
         # previous row's knobs (e.g. PIPE=1 leaking into the GROUPED rows)
         for k in ("PT_CLUSTER_WIDE", "PT_CLUSTER_PIPE", "PT_CLUSTER_GROUPED",
-                  "PT_CLUSTER_SPLIT", "PT_CLUSTER_STREAM"):
+                  "PT_CLUSTER_SPLIT", "PT_CLUSTER_STREAM",
+                  "PT_CLUSTER_ORDDMA"):
             monkeypatch.delenv(k, raising=False)
         for k, v in env.items():
             monkeypatch.setenv(k, v)

@@ -99,6 +99,16 @@ def main():
          dict(PT_CLUSTER_STREAM="1", PT_CLUSTER_WIDE="8",
               PT_CLUSTER_GROUPED="1", PT_CLUSTER_ROWSCOND="1"),
          dict(with_rows=True, extras=extras)),
+        # round-4 wave 3: HBM order rows for the resident march (lifts
+        # the n_chunks x M SMEM scalar-prefetch wall)
+        ("k64_w16_orddma", 64,
+         dict(PT_CLUSTER_K="64", PT_CLUSTER_WIDE="16",
+              PT_CLUSTER_GROUPED="1", PT_CLUSTER_SPLIT="1",
+              PT_CLUSTER_ORDDMA="1"),
+         dict(with_rows=True, extras=extras)),
+        ("orddma_w8_k128", 128,
+         dict(PT_CLUSTER_WIDE="8", PT_CLUSTER_GROUPED="1",
+              PT_CLUSTER_ORDDMA="1"), {}),
     ]
     failed = 0
     for name, K, env, kw in combos:
