@@ -1230,18 +1230,21 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     fixwin = int(_os.environ.get("PT_CLUSTER_FIXWIN", "0"))
     if fixwin:
         fixwin = max(1, min(fixwin, M // max(wide, 1)))
-    # HBM order rows for the RESIDENT march (PT_CLUSTER_ORDDMA, default
-    # auto): the scalar-prefetch ids/ents tables live in SMEM and grow as
-    # n_chunks x (M + sentinels) x 8 B — the axon remote compile aborts
-    # around ~1.25 MB (chunk 230,400 at bunny scale, r4). Above a
-    # conservative budget the order tables move to HBM rank-3 blocks and
-    # each chunk DMAs its own rows into SMEM scratch at chunk start — the
-    # streamed march's order pattern with the cols still VMEM-resident.
-    orddma_env = _os.environ.get("PT_CLUSTER_ORDDMA", "auto")
+    # HBM order rows for the RESIDENT march (PT_CLUSTER_ORDDMA,
+    # DEFAULT-ON since round 4): the scalar-prefetch ids/ents tables live
+    # in SMEM, are re-uploaded per launch (n_chunks x (M + sentinels) x
+    # 8 B), and abort the axon remote compile around ~1.25 MB (chunk
+    # 230,400 at bunny scale). With ORDDMA the order tables are HBM
+    # rank-3 blocks and each chunk DMAs its own rows into SMEM scratch at
+    # chunk start — the streamed march's order pattern with the cols
+    # still VMEM-resident. Measured: bit-identical images and a
+    # DETERMINISTIC 357.7-360 ms bunny bench across four processes, where
+    # the scalar-prefetch program is bimodal per process (335 or 390+ ms,
+    # tunnel-state dependent) — the flip trades ~6% off the lucky mode
+    # for eliminating the 17% slow tail (docs/DESIGN.md wave 3).
+    # PT_CLUSTER_ORDDMA=0 restores scalar prefetch.
     orddma = (not stream and not guard
-              and (orddma_env == "1"
-                   or (orddma_env in ("auto", "")
-                       and n_chunks * (M + n_sent) * 8 > 640 * 1024)))
+              and _os.environ.get("PT_CLUSTER_ORDDMA", "1") != "0")
     kernel = functools.partial(_march_kernel, K=K, M=M, t_min=t_min,
                                t_max=float(t_max), with_rows=with_rows,
                                guard=guard, fused6=fused6, wide=wide,
