@@ -11,6 +11,15 @@ numbers, SURVEY §6). The JSON line also reports the *executed* query count
 dead-ray compaction skip terminated lanes) and the Mrays/s over those, so
 termination-rate changes cannot masquerade as speed.
 
+Capture guarantee (VERDICT r4 #1 — BENCH_r04 was null because a driver
+timeout killed the process mid-compile): the measured body runs in a CHILD
+subprocess; the parent enforces an internal wall-clock budget
+(PT_BENCH_BUDGET_S, default 1500 s) *and* traps SIGTERM/SIGINT (what
+`timeout` sends), so ANY driver deadline yields the latest committed bench
+line marked stale instead of nothing. The reference's one perf instrument
+is a wall-clock print that always appears (/root/reference/main.cu:469-476)
+— this bench is at least as unkillable.
+
 Usage: python bench.py [--width W] [--height H] [--spp N] [--depth D]
                        [--scene bunny] [--iters K]
 """
@@ -19,13 +28,17 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 BASELINE_MRAYS = 200.0  # BASELINE.md north star, Mrays/s/chip
-BENCH_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "docs", "bench_log.jsonl")
+BENCH_LOG = os.environ.get(
+    "PT_BENCH_LOG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "docs", "bench_log.jsonl"))
 
 _PROBE_SRC = """
 import jax, jax.numpy as jnp
@@ -36,15 +49,16 @@ x = jnp.ones((8, 128))
 """
 
 
-def _probe_tpu(attempts: int = 3, probe_timeout: int = 180,
-               wait_s: int = 90) -> bool:
-    """Bounded probe-and-retry for the axon tunnel (<= ~10 min total).
+def _probe_tpu(attempts: int = 1, probe_timeout: int = 90,
+               wait_s: int = 30) -> bool:
+    """Bounded probe for the axon tunnel.
 
-    The tunnel has transient hour-scale outages (docs/DESIGN.md); a single
-    failed backend init must not zero the round's bench artifact (the
-    round-2 BENCH json was a stack trace for exactly this reason). Probes
-    run in subprocesses because a hung tunnel blocks in-process forever and
-    a failed backend init is sticky for the process lifetime."""
+    One ~90 s attempt (a healthy tunnel answers the compute in seconds,
+    but the import + backend handshake alone measured 68 s on 2026-08-20;
+    the old 3x180+2x90 budget could burn ~12.5 min of the driver's
+    timeout before the bench even started — VERDICT r4 #1). Probes run in
+    subprocesses because a hung tunnel blocks in-process forever and a
+    failed backend init is sticky for the process lifetime."""
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
@@ -62,10 +76,10 @@ def _probe_tpu(attempts: int = 3, probe_timeout: int = 180,
 
 
 def _emit_last_good(reason: str, log_path: str = BENCH_LOG) -> int:
-    """Tunnel-down fallback: re-emit the latest committed bench line,
-    marked stale with the failure reason — a dated, reproducible record
-    beats an empty artifact (VERDICT r2 'capture the number no matter
-    what the tunnel does')."""
+    """Fallback: re-emit the latest committed bench line, marked stale with
+    the failure reason — a dated, reproducible record beats an empty
+    artifact (VERDICT r2 'capture the number no matter what the tunnel
+    does'; r4: 'the work was done, the artifact wasn't captured')."""
     try:
         with open(log_path) as f:
             recs = [json.loads(ln) for ln in f if ln.strip()]
@@ -81,15 +95,55 @@ def _emit_last_good(reason: str, log_path: str = BENCH_LOG) -> int:
         print(json.dumps({"metric": "bunny_forward_throughput",
                           "value": None, "unit": "Mrays/s",
                           "vs_baseline": None, "error": reason}))
+        sys.stdout.flush()
         return 1
     rec = dict(recs[-1])
     rec["stale"] = True
     rec["stale_reason"] = reason
     print(json.dumps(rec))
+    sys.stdout.flush()
     return 0
 
 
-def main() -> int:
+def _calibrate_tunnel():
+    """2-3 s tunnel-state stamp (VERDICT r4 #8): per-program dispatch
+    latency (bimodal ~0.1 vs ~24 ms) and in-program elementwise throughput
+    (the tools/tpu_query_parts.py exit-42 anchor). Returns a dict stamped
+    into the bench record; class == "bad" marks the record suspect so it
+    never becomes an official fallback line."""
+    import jax
+    import jax.numpy as jnp
+    if str(jax.devices()[0].platform).lower() == "cpu":
+        return None
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    disp = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(disp(tiny))
+    ds = []
+    import numpy as _np
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _np.asarray(disp(tiny))  # VALUE-forced (block_until_ready lies
+        ds.append(time.perf_counter() - t0)  # under parallel semantics)
+    dispatch_ms = sorted(ds)[len(ds) // 2] * 1e3
+
+    big = jnp.zeros((2048, 2048), jnp.float32)
+
+    @jax.jit
+    def _cal(x):
+        return jax.lax.fori_loop(0, 8, lambda i, a: a * 0.5 + 1.0, x)[0, 0]
+
+    _np.asarray(_cal(big))
+    t0 = time.perf_counter()
+    _np.asarray(_cal(big))
+    calib_ms = max(0.0, (time.perf_counter() - t0
+                         - dispatch_ms * 1e-3)) / 8 * 1e3
+    cls = ("bad" if calib_ms > 1.0 else
+           "slow" if dispatch_ms > 5.0 else "fast")
+    return {"dispatch_ms": round(dispatch_ms, 2),
+            "calib_ms": round(calib_ms, 3), "class": cls}
+
+
+def _parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
@@ -112,18 +166,17 @@ def main() -> int:
                         "(4 -> 1.27M tris; the HBM-scale bench row — the "
                         "auto accel rule picks the streamed march above "
                         "the resident VMEM budget)")
-    args = p.parse_args()
+    p.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    return p.parse_args(argv)
 
-    # Outage resilience: probe the tunnel (bounded retries) before
-    # committing to an in-process backend init; on a dead tunnel emit the
-    # latest committed bench line marked stale instead of a stack trace.
-    # PT_BENCH_NO_PROBE=1 skips the probe (chip-queue runs that already
-    # verified the tunnel).
-    want_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
-    if os.environ.get("PT_BENCH_NO_PROBE") != "1" and not want_cpu:
-        if not _probe_tpu():
-            return _emit_last_good("axon tunnel unreachable after "
-                                   "3 probes over ~10 min")
+
+def _child_main(args) -> int:
+    """The measured body — runs in a subprocess under the parent's
+    deadline. Prints the one JSON line on success."""
+    fake = os.environ.get("PT_BENCH_FAKE", "")
+    if fake.startswith("sleep:"):  # test hook: deterministic slow backend
+        time.sleep(float(fake.split(":", 1)[1]))
+        return 3
 
     import jax
 
@@ -147,6 +200,8 @@ def main() -> int:
     if args.accel == "bvh":
         bvh = jax.block_until_ready(build_lbvh(scene))
     render = make_renderer(cfg, with_bvh=bvh is not None, with_stats=True)
+
+    tunnel = _calibrate_tunnel()
 
     # warmup: compile + one steady-state run
     img, n_exec = render(scene, bvh, cam, 0)
@@ -191,6 +246,8 @@ def main() -> int:
         "shadow_queries": n_shadow,
         "executed_mrays_per_s": round(n_closest / dt / 1e6, 3),
     }
+    if tunnel is not None:
+        rec["tunnel_state"] = tunnel
     # MFU / roofline accounting (VERDICT r3 #4): the march kernel counts
     # executed (ray, prim-slot) sweep pair tests; each costs OUTS x 72
     # bf16 MACs in the fused6 sweep plus 48 MACs of winner-rows
@@ -230,7 +287,14 @@ def main() -> int:
         rec["suspect_reason"] = (
             f"{mrays:.0f} Mrays/s exceeds sanity cap {cap:.0f} "
             f"(10x best known {best_known:.1f}); per-iter dts={dts}")
+    if tunnel is not None and tunnel["class"] == "bad":
+        rec["suspect"] = True
+        rec["suspect_reason"] = (
+            f"bad tunnel interval (calib {tunnel['calib_ms']} ms/pass vs "
+            f"~0.05 expected) — timings unusable; "
+            + rec.get("suspect_reason", ""))
     print(json.dumps(rec))
+    sys.stdout.flush()
     # Append every good live run (dated, with workload shape) to the
     # committed bench log so a snapshot-time outage can never erase the
     # round's number (docs/bench_log.jsonl; _emit_last_good reads it).
@@ -252,6 +316,77 @@ def main() -> int:
                 f.write(json.dumps(logrec) + "\n")
         except OSError:
             pass
+    return 0
+
+
+def main() -> int:
+    args = _parse_args()
+    if args.child:
+        return _child_main(args)
+
+    # ---- parent: watchdog around the measured child -------------------
+    budget = float(os.environ.get("PT_BENCH_BUDGET_S", "1500"))
+    t_start = time.monotonic()
+
+    # Outage resilience: probe the tunnel (one short attempt) before
+    # committing to a child backend init; on a dead tunnel emit the latest
+    # committed bench line marked stale instead of a stack trace.
+    # PT_BENCH_NO_PROBE=1 skips the probe (chip-queue runs that already
+    # verified the tunnel).
+    want_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    if os.environ.get("PT_BENCH_NO_PROBE") != "1" and not want_cpu:
+        if not _probe_tpu():
+            return _emit_last_good("axon tunnel unreachable (90 s probe)")
+
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"]
+        + sys.argv[1:],
+        stdout=subprocess.PIPE, text=True, start_new_session=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    out_lines: list[str] = []
+
+    def _reader():
+        for ln in child.stdout:
+            out_lines.append(ln.rstrip("\n"))
+
+    rt = threading.Thread(target=_reader, daemon=True)
+    rt.start()
+
+    def _die(reason: str):
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except (OSError, ProcessLookupError):
+            pass
+        _emit_last_good(reason)
+        os._exit(0)  # a captured stale line IS the success path here
+
+    def _on_signal(signum, frame):
+        _die(f"driver deadline (signal {signum}) after "
+             f"{time.monotonic() - t_start:.0f} s — measured run killed")
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    while True:
+        remaining = budget - (time.monotonic() - t_start)
+        if remaining <= 0:
+            _die(f"internal budget PT_BENCH_BUDGET_S={budget:.0f}s "
+                 f"exceeded — measured run killed")
+        try:
+            rc = child.wait(timeout=min(5.0, remaining))
+            break
+        except subprocess.TimeoutExpired:
+            continue
+
+    rt.join(timeout=10)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.SIG_DFL)
+    json_ok = any(ln.startswith("{") for ln in out_lines)
+    if not json_ok:
+        return _emit_last_good(f"bench child rc={rc} without a JSON line")
+    for ln in out_lines:
+        print(ln)
+    sys.stdout.flush()
     return 0
 
 
