@@ -411,20 +411,6 @@ def trace(scene: Scene,
         _, (o, d, atten, alive, absorbed, emitted_acc, _, _, rid, n_exec) \
             = jax.lax.while_loop(cond, body, (start, carry0))
 
-    if sorted_mode:
-        # one unsort restores pixel order for everything the epilogue reads
-        ops = jax.lax.sort(
-            [rid, d[:, 0], d[:, 1], d[:, 2],
-             atten[:, 0], atten[:, 1], atten[:, 2],
-             emitted_acc[:, 0], emitted_acc[:, 1], emitted_acc[:, 2],
-             alive.astype(jnp.int32), absorbed.astype(jnp.int32)],
-            num_keys=1)
-        d = jnp.stack(ops[1:4], axis=1)
-        atten = jnp.stack(ops[4:7], axis=1)
-        emitted_acc = jnp.stack(ops[7:10], axis=1)
-        alive = ops[10] != 0
-        absorbed = ops[11] != 0
-
     if sky:
         background = sky_color(d)
     else:
@@ -435,4 +421,16 @@ def trace(scene: Scene,
     dead = absorbed | (alive if terminate_black else jnp.zeros_like(absorbed))
     radiance = emitted_acc + jnp.where(dead[:, None], 0.0,
                                        atten * background)
+
+    if sorted_mode:
+        # The whole radiance epilogue (sky lookup, termination select,
+        # emitted merge) runs in MARCH order above — commutative per lane —
+        # so the one unsort back to pixel order carries only [rid, r, g, b]
+        # instead of the former 12 payloads (d, atten, emitted, flags).
+        # Bit-identical: same per-lane values, same permutation; ~2/3 less
+        # sort traffic off the integrator floor (VERDICT r4 #4).
+        ops = jax.lax.sort(
+            [rid, radiance[:, 0], radiance[:, 1], radiance[:, 2]],
+            num_keys=1)
+        radiance = jnp.stack(ops[1:4], axis=1)
     return (radiance, n_exec) if with_stats else radiance

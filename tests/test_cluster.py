@@ -358,6 +358,15 @@ def test_march_wide_variants_bit_identical(monkeypatch):
                 {"PT_CLUSTER_ORDDMA": "1"},
                 {"PT_CLUSTER_ORDDMA": "1", "PT_CLUSTER_WIDE": "4",
                  "PT_CLUSTER_GROUPED": "1"},
+                # narrow-first window: one W1-wide head window before the
+                # wide loop — identical tie rule (lowest order slot wins
+                # in every partitioning), so still bit-identical
+                {"PT_CLUSTER_WIDE": "4", "PT_CLUSTER_GROUPED": "1",
+                 "PT_CLUSTER_NARROW": "1"},
+                {"PT_CLUSTER_WIDE": "8", "PT_CLUSTER_GROUPED": "1",
+                 "PT_CLUSTER_NARROW": "2"},
+                {"PT_CLUSTER_WIDE": "8", "PT_CLUSTER_GROUPED": "1",
+                 "PT_CLUSTER_NARROW": "2", "PT_CLUSTER_ORDDMA": "1"},
                 # chunking-invariance: a 256-ray tile regroups chunks but
                 # the march still finds each ray's exact min (same winning
                 # visit, same arithmetic)
@@ -370,7 +379,7 @@ def test_march_wide_variants_bit_identical(monkeypatch):
         # previous row's knobs (e.g. PIPE=1 leaking into the GROUPED rows)
         for k in ("PT_CLUSTER_WIDE", "PT_CLUSTER_PIPE", "PT_CLUSTER_GROUPED",
                   "PT_CLUSTER_SPLIT", "PT_CLUSTER_STREAM",
-                  "PT_CLUSTER_ORDDMA"):
+                  "PT_CLUSTER_ORDDMA", "PT_CLUSTER_NARROW"):
             monkeypatch.delenv(k, raising=False)
         for k, v in env.items():
             monkeypatch.setenv(k, v)
@@ -587,6 +596,68 @@ def test_supercluster_cull_matches(monkeypatch):
         assert (np.asarray(idx1)[hit] == np.asarray(idx0)[hit]).all(), env
         for k in env:
             monkeypatch.delenv(k)
+
+
+def test_cull2_two_level_matches(monkeypatch):
+    """PT_CLUSTER_CULL2=1: super-granularity per-ray cull (bin key from
+    entries, stop gate from EXITS) + interval-arithmetic per-chunk member
+    ordering (VERDICT r4 #3). Results must agree with the default march —
+    the kernel is unchanged, only the order/gate inputs differ."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world("bunny"), 512, key=7)
+    ct = build_cluster_tables(scene)
+    idx0, t0, v0 = cluster_march(ct, o, d, T_MIN)
+    for env in ({"PT_CLUSTER_CULL2": "1", "PT_CLUSTER_SUPER": "4"},
+                {"PT_CLUSTER_CULL2": "1", "PT_CLUSTER_SUPER": "8"},
+                {"PT_CLUSTER_CULL2": "1", "PT_CLUSTER_SUPER": "4",
+                 "PT_CLUSTER_STREAM": "1"},
+                # auto group sizing (C_reg/512 -> sup=1: degenerate but
+                # legal — supers ARE the members then)
+                {"PT_CLUSTER_CULL2": "1"}):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        idx1, t1, v1 = cluster_march(ct, o, d, T_MIN)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0), env)
+        hit = np.asarray(v0)
+        np.testing.assert_allclose(np.asarray(t1)[hit],
+                                   np.asarray(t0)[hit], rtol=1e-6,
+                                   err_msg=str(env))
+        assert (np.asarray(idx1)[hit] == np.asarray(idx0)[hit]).all(), env
+        for k in env:
+            monkeypatch.delenv(k)
+
+
+def test_cull2_incoherent_dead_and_shadow(monkeypatch):
+    """cull2 under the adversarial wavefront: random origins/directions
+    (direction intervals span zero -> the bundle cull must stay
+    conservative), dead lanes mixed in (excluded from bundle hulls), and
+    the t_max'd shadow query (unsorted path + gate clamp)."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, _ = worlds.random_world(seed=11)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    o = jax.random.uniform(k1, (512, 3), jnp.float32, -8.0, 8.0)
+    d = jax.random.normal(k2, (512, 3), jnp.float32)
+    d = jnp.where(((jnp.arange(512) % 5) == 0)[:, None], 0.0, d)
+    ct = build_cluster_tables(scene)
+    idx0, t0, v0 = cluster_march(ct, o, d, T_MIN)
+    s_idx0, s_t0, s_v0 = cluster_march(ct, o, d, T_MIN, sort_rays=False,
+                                       t_max=1.0)
+    monkeypatch.setenv("PT_CLUSTER_CULL2", "1")
+    monkeypatch.setenv("PT_CLUSTER_SUPER", "4")
+    idx1, t1, v1 = cluster_march(ct, o, d, T_MIN)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    hit = np.asarray(v0)
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t0)[hit],
+                               rtol=1e-6)
+    dead = np.asarray((jnp.arange(512) % 5) == 0)
+    assert not np.asarray(v1)[dead].any()
+    # shadow-style query: unsorted, t_max=1 gate clamp
+    s_idx1, s_t1, s_v1 = cluster_march(ct, o, d, T_MIN, sort_rays=False,
+                                       t_max=1.0)
+    np.testing.assert_array_equal(np.asarray(s_v1), np.asarray(s_v0))
+    s_hit = np.asarray(s_v0)
+    np.testing.assert_allclose(np.asarray(s_t1)[s_hit],
+                               np.asarray(s_t0)[s_hit], rtol=1e-6)
 
 
 def test_sort_once_mode_matches(monkeypatch):

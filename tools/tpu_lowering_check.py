@@ -109,6 +109,26 @@ def main():
         ("orddma_w8_k128", 128,
          dict(PT_CLUSTER_WIDE="8", PT_CLUSTER_GROUPED="1",
               PT_CLUSTER_ORDDMA="1"), {}),
+        # round-5: narrow-first head window + the two-level (cull2) march
+        ("k64_w16_narrow4", 64,
+         dict(PT_CLUSTER_K="64", PT_CLUSTER_WIDE="16",
+              PT_CLUSTER_GROUPED="1", PT_CLUSTER_SPLIT="1",
+              PT_CLUSTER_NARROW="4"),
+         dict(with_rows=True, extras=extras)),
+        ("narrow2_w8_k128", 128,
+         dict(PT_CLUSTER_WIDE="8", PT_CLUSTER_GROUPED="1",
+              PT_CLUSTER_NARROW="2"), {}),
+        ("cull2_stream", 128,
+         dict(PT_CLUSTER_CULL2="1", PT_CLUSTER_SUPER="4",
+              PT_CLUSTER_STREAM="1", PT_CLUSTER_WIDE="8",
+              PT_CLUSTER_GROUPED="1"),
+         dict(with_rows=True, extras=extras)),
+        ("cull2_orddma_narrow", 64,
+         dict(PT_CLUSTER_CULL2="1", PT_CLUSTER_SUPER="4",
+              PT_CLUSTER_K="64", PT_CLUSTER_WIDE="16",
+              PT_CLUSTER_GROUPED="1", PT_CLUSTER_SPLIT="1",
+              PT_CLUSTER_NARROW="4"),
+         dict(with_rows=True, extras=extras)),
     ]
     failed = 0
     for name, K, env, kw in combos:
