@@ -446,7 +446,7 @@ def cluster_closest(ct: ClusterTables, o, d, t_min,
 def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
                   wide, pipe, grouped, split=False, C_tot=0, stream=False,
                   knock="", fixwin=0, rows_cond=False, orddma=False,
-                  narrow=0):
+                  narrow=0, orddma2=True):
     _ROWS_COND = rows_cond
     """In-kernel cluster march for ray chunk i.
 
@@ -510,7 +510,22 @@ def _march_kernel(*refs, K, M, t_min, t_max, with_rows, guard, fused6,
          gate_ref, cols_ref, sph_ref, valid_ref, rows_ref,
          t_ref, best_ref, rows_out, win_ref) = refs
     i = pl.program_id(0)
-    if orddma:
+    if orddma and not orddma2:
+        # single-buffered order DMA (PT_CLUSTER_ORDDMA2=0 — the r4 form,
+        # kept for A/B): both DMAs start and are waited at chunk start
+        cp_i = pltpu.make_async_copy(ids_hbm.at[i], ids_s, tab_sem.at[0])
+        cp_e = pltpu.make_async_copy(ents_hbm.at[i], ents_s, tab_sem.at[1])
+        cp_i.start()
+        cp_e.start()
+        cp_i.wait()
+        cp_e.wait()
+
+        def ids_at(j):
+            return ids_s[j // 128, j % 128]
+
+        def ents_at(j):
+            return ents_s[j // 128, j % 128]
+    elif orddma:
         # Cross-step double-buffered order DMA (r5): chunk i+1's order rows
         # are prefetched DURING step i, so the wait at step i+1 returns
         # ~immediately — the two serial DMA latencies that every chunk step
@@ -1270,6 +1285,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     entry = _cull_T(o, d, active, cull_min, cull_max, t_min,
                     with_exit=cull2 and not sort_rays)
     exit_ = None
+    n_live_chunks = None
     if cull2 and not sort_rays:
         entry, exit_ = entry
     if sort_rays:
@@ -1281,6 +1297,10 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         touched = entry < BIG * 0.5
         kmin = jnp.argmin(entry, axis=0).astype(jnp.int32)
         any_t = jnp.any(touched, axis=0)
+        # live-prefix length for the grid ladder (see PT_CLUSTER_LIVEGRID):
+        # after this sort, touched lanes occupy positions [0, sum(any_t))
+        n_live_chunks = (jnp.sum(any_t.astype(jnp.int32))
+                         + ray_tile - 1) // ray_tile
         if key2:
             klast = (C_cull - 1 - jnp.argmax(touched[::-1, :], axis=0)
                      .astype(jnp.int32))
@@ -1454,10 +1474,40 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
     # PT_CLUSTER_ORDDMA=0 restores scalar prefetch.
     orddma = (not stream and not guard
               and _os.environ.get("PT_CLUSTER_ORDDMA", "1") != "0")
+    # PT_CLUSTER_ORDDMA2=1: cross-step double-buffered order DMA —
+    # measured NEGATIVE on chip (403.1 vs 353.5 ms same-process, r5): the
+    # speculative prefetch + per-slot semaphores evidently break Mosaic's
+    # own step overlapping rather than extend it, the same lesson as the
+    # per-visit slab guard ("predictable streaming beats work-skipping
+    # when the skipped work rode a pipelined DMA", DESIGN.md). Default
+    # stays the r4 single-buffered form; the knob remains for future
+    # Mosaic versions.
+    orddma2 = _os.environ.get("PT_CLUSTER_ORDDMA2", "0") == "1"
     # narrow-first window (PT_CLUSTER_NARROW=W1): one conditional
     # W1-wide window over slots [0, W1) before the wide loop — grouped
-    # wide marches only; W1*K must stay 128-lane aligned. See
-    # _march_kernel's make_window_fns.
+    # wide marches only; W1*K must stay 128-lane aligned. Measured
+    # NEGATIVE on chip (r5): W=16+narrow fails the axon device compile
+    # outright (HTTP 500 — per-kernel code size), and W=8+NARROW=2 runs
+    # 1969.6 ms vs 363.7 same-process (~5.4x SLOWER, image
+    # bit-identical) — the head window's lax.cond stalls Mosaic's block
+    # pipeline exactly like the r2 per-visit slab guard did. Kept
+    # env-gated as infrastructure; default permanently 0.
+    # Live-chunk grid ladder (PT_CLUSTER_LIVEGRID=1, sorted queries
+    # only): precompile the march at prefix grid sizes (n, n/2, n/4,
+    # n/8) and lax.switch on the live-chunk count — dead chunks past the
+    # sorted live prefix stop paying the per-grid-step fixed cost
+    # altogether (they marched zero windows anyway).
+    livegrid = (_os.environ.get("PT_CLUSTER_LIVEGRID", "0") == "1"
+                and sort_rays and not stub_kernel)
+    ladder = None
+    if livegrid and n_live_chunks is not None:
+        ladder = [n_chunks]
+        for _div in (2, 4, 8):
+            _s = max(1, -(-n_chunks // _div))
+            if _s < ladder[-1]:
+                ladder.append(_s)
+        if len(ladder) == 1:
+            ladder = None
     narrow = int(_os.environ.get("PT_CLUSTER_NARROW", "0"))
     if narrow and not (wide > 1 and grouped and not pipe and not stream
                        and not guard and not fixwin and not stub_gate
@@ -1470,7 +1520,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                                pipe=pipe, grouped=grouped, split=split,
                                C_tot=C_tot, stream=stream, knock=knock,
                                fixwin=fixwin, orddma=orddma,
-                               narrow=narrow,
+                               narrow=narrow, orddma2=orddma2,
                                rows_cond=_os.environ.get(
                                    "PT_CLUSTER_ROWSCOND", "1") == "1")
     n_pref = 1 if (stream or orddma) else (4 if guard else 3)
@@ -1507,23 +1557,26 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         return pl.BlockSpec(shape, lambda i, *_: index)
 
     out_specs = [blk((1, 1, ray_tile)), blk((1, 1, ray_tile))]
-    out_shape = [
-        jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.float32),
-        jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
-    ]
     if with_rows:
         out_specs.append(blk((1, 16, ray_tile)))
-        out_shape.append(
-            jax.ShapeDtypeStruct((n_chunks, 16, ray_tile), jnp.float32))
     else:
         # dummy single-block output so the kernel signature is uniform
         out_specs.append(blk((1, 16, ray_tile), (0, 0, 0)))
-        out_shape.append(
-            jax.ShapeDtypeStruct((1, 16, ray_tile), jnp.float32))
     # per-chunk windows-marched counter (MFU accounting)
     out_specs.append(blk((1, 1, ray_tile)))
-    out_shape.append(
-        jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32))
+
+    def _mk_out_shape(g):
+        """Output buffers for a g-step grid (the live-chunk ladder reruns
+        the same kernel on prefix grids; block specs are size-free)."""
+        return [
+            jax.ShapeDtypeStruct((g, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, ray_tile), jnp.int32),
+            jax.ShapeDtypeStruct((g if with_rows else 1, 16, ray_tile),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, ray_tile), jnp.int32),
+        ]
+
+    out_shape = _mk_out_shape(n_chunks)
     in_specs = [
         blk((ray_tile, feat_in)),
         blk((1, 1, ray_tile)),
@@ -1565,7 +1618,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         ents_st = jnp.concatenate(
             [ents, jnp.full((n_chunks, extra), BIG, jnp.float32)],
             axis=1).reshape(n_chunks, M_pad // 128, 128)
-        if orddma:
+        if orddma and orddma2:
             # double-buffered across grid steps (slot = chunk % 2): chunk
             # i+1's rows prefetch during step i (see _march_kernel)
             ord_scratch = [
@@ -1603,13 +1656,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
                 pltpu.VMEM((2, wide, 48, K), ct.rows.dtype),
                 pltpu.SemaphoreType.DMA((2,)),        # rows_sem
             ]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=n_pref,
-            grid=(n_chunks,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            scratch_shapes=scratch_shapes,
-        )
+        scratch_kw = dict(scratch_shapes=scratch_shapes)
         prefetch = [ct.ctype]
     elif orddma:
         any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
@@ -1625,13 +1672,7 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         operands = [ids_st, ents_st] + operands + [
             cols_in, ct.is_sphere, ct.valid_row,
             ct.rows if with_rows else ct.rows[:1]]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=n_pref,
-            grid=(n_chunks,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            scratch_shapes=ord_scratch,
-        )
+        scratch_kw = dict(scratch_shapes=ord_scratch)
         prefetch = [ct.ctype]
     else:
         in_specs += [
@@ -1647,16 +1688,17 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         ]
         operands += [cols_in, ct.is_sphere, ct.valid_row,
                      ct.rows if with_rows else ct.rows[:1]]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=n_pref,
-            grid=(n_chunks,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
+        scratch_kw = {}
         prefetch = [ids, ents, ct.ctype]
         if guard:
             cbox = jnp.concatenate([ct.cmin, ct.cmax], axis=1).reshape(-1)
             prefetch.append(cbox)
+
+    def _mk_grid_spec(g):
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_pref, grid=(g,),
+            in_specs=in_specs, out_specs=out_specs, **scratch_kw)
+
     if stub_kernel:
         # keep the kernel's XLA feeders (cull, gate, chunk-entry sort, phi)
         # alive so the knockout isolates ONLY the pallas call: fold a
@@ -1713,13 +1755,42 @@ def cluster_march(ct: ClusterTables, o, d, t_min,
         if vmem_mb:
             params["vmem_limit_bytes"] = vmem_mb * 1024 * 1024
         params = pltpu.CompilerParams(**params) if params else None
-        t_best, best, rows_k, wins_k = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            compiler_params=params,
-            interpret=jax.default_backend() != "tpu",
-        )(*prefetch, *operands)
+        interp = jax.default_backend() != "tpu"
+
+        def _run_march(g):
+            outs = pl.pallas_call(
+                kernel, grid_spec=_mk_grid_spec(g),
+                out_shape=_mk_out_shape(g), compiler_params=params,
+                interpret=interp)(*prefetch, *operands)
+            if g == n_chunks:
+                return tuple(outs)
+            # chunks past the live prefix have no touched lanes; the
+            # kernel would write exactly (BIG, -1, 0 rows, 0 wins) for
+            # them — pad the identity instead of stepping the grid
+            t_b, b_b, r_k, w_k = outs
+            pad = n_chunks - g
+            t_b = jnp.concatenate(
+                [t_b, jnp.full((pad, 1, ray_tile), BIG, jnp.float32)])
+            b_b = jnp.concatenate(
+                [b_b, jnp.full((pad, 1, ray_tile), -1, jnp.int32)])
+            if with_rows:
+                r_k = jnp.concatenate(
+                    [r_k, jnp.zeros((pad, 16, ray_tile), jnp.float32)])
+            w_k = jnp.concatenate(
+                [w_k, jnp.zeros((pad, 1, ray_tile), jnp.int32)])
+            return t_b, b_b, r_k, w_k
+
+        if ladder is not None:
+            # smallest rung covering the live prefix; every rung is the
+            # SAME kernel at a smaller grid (no per-kernel code growth —
+            # the axon compile wall is per-kernel code size)
+            idx = jnp.int32(0)
+            for _k, _g in enumerate(ladder[1:], 1):
+                idx = jnp.where(n_live_chunks <= _g, jnp.int32(_k), idx)
+            t_best, best, rows_k, wins_k = jax.lax.switch(
+                idx, [functools.partial(_run_march, g) for g in ladder])
+        else:
+            t_best, best, rows_k, wins_k = _run_march(n_chunks)
     # executed pair tests (ray x primitive slot): the kernel counts order
     # SLOTS marched (windows x width, narrow window included), each slot
     # sweeping K lanes against ray_tile rays — the numerator of the bench

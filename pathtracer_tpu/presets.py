@@ -33,7 +33,7 @@ def combined_scene(aspect: float = 16.0 / 9.0) -> Tuple[Scene, Camera]:
     emissive light, sized for the tiled-1080p multi-chip benchmark.
     """
     from pathtracer_tpu.io.obj import load_obj
-    from pathtracer_tpu.scene.bunny import BUNNY_OBJ
+    from pathtracer_tpu.scene.bunny import resolve_bunny_obj
     from pathtracer_tpu.scene.cornell import CORNELL_DIR
     import os
 
@@ -41,8 +41,14 @@ def combined_scene(aspect: float = 16.0 / 9.0) -> Tuple[Scene, Camera]:
     b = SceneBuilder()
     add_cornell_room(b, CORNELL_DIR)
 
-    # bunny, scaled to ~250 units, centered on the floor
-    verts, faces = load_obj(BUNNY_OBJ)
+    # bunny, scaled to ~250 units, centered on the floor (env > reference
+    # scan > vendored assets/bunny.obj, like the flagship scene)
+    obj_path = resolve_bunny_obj()
+    if obj_path is not None:
+        verts, faces = load_obj(obj_path)
+    else:
+        from pathtracer_tpu.scene.standalone_assets import bunny_standin
+        verts, faces = bunny_standin()
     verts = verts.astype(np.float64)
     lo, hi = verts.min(0), verts.max(0)
     scale = 250.0 / float((hi - lo).max())

@@ -660,6 +660,42 @@ def test_cull2_incoherent_dead_and_shadow(monkeypatch):
                                np.asarray(s_t0)[s_hit], rtol=1e-6)
 
 
+def test_livegrid_ladder_matches(monkeypatch):
+    """PT_CLUSTER_LIVEGRID=1: the march reruns on the smallest prefix
+    grid covering the sorted live lanes; chunks past the prefix get the
+    identity padding the kernel would have written — results must be
+    BIT-identical (same kernel, same arithmetic, same order)."""
+    from pathtracer_tpu.ops.cluster_sweep import cluster_march
+    scene, o, d = _camera_rays(worlds.get_world("random"), 512, key=9)
+    # kill 3/4 of lanes -> live prefix ~1 chunk of 4 -> a small rung fires
+    d = jnp.where((jnp.arange(512) % 4 != 0)[:, None], 0.0, d)
+    ct = build_cluster_tables(scene)
+    idx0, t0, v0 = cluster_march(ct, o, d, T_MIN)
+    monkeypatch.setenv("PT_CLUSTER_LIVEGRID", "1")
+    idx1, t1, v1 = cluster_march(ct, o, d, T_MIN)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx0))
+    # all-live wavefront picks the full rung — still identical
+    idx2, t2, v2 = cluster_march(ct, o, jnp.where(d == 0.0, 1.0, d), T_MIN)
+    assert np.isfinite(np.asarray(t2)[np.asarray(v2)]).all()
+
+
+def test_livegrid_render_matches(monkeypatch):
+    """End-to-end: the sorted-wavefront render under the grid ladder is
+    bit-identical (later bounces shrink the live prefix, exercising the
+    small rungs through the query_sorted/extras path)."""
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.render.renderer import render_image
+    scene, cam = worlds.get_world("bunny")
+    cfg = RenderConfig(width=64, height=36, spp=2, max_depth=4,
+                       accel="cluster", ray_chunk=64 * 36, scene="bunny")
+    ref = np.asarray(render_image(scene, cam, cfg, seed=5))
+    monkeypatch.setenv("PT_CLUSTER_LIVEGRID", "1")
+    img = np.asarray(render_image(scene, cam, cfg, seed=5))
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_sort_once_mode_matches(monkeypatch):
     """PT_SORT_ONCE=1 bins the wavefront on the camera bounce only; later
     bounces march in that order (resort=False). Exact winners — images
