@@ -213,7 +213,8 @@ def main():
         kernel = functools.partial(cs._march_kernel, K=K, M=C_reg,
                                    t_min=1e-3, t_max=cs.BIG,
                                    with_rows=True, guard=False,
-                                   fused6=False, wide=1, pipe=False)
+                                   fused6=False, wide=1, pipe=False,
+                                   grouped=False)
         C_tot = ct.cols.shape[0]
 
         def blk(shape, index=None):
@@ -233,14 +234,15 @@ def main():
                 blk((C_tot, 48, K), (0, 0, 0)),
             ],
             out_specs=[blk((1, 1, ray_tile)), blk((1, 1, ray_tile)),
-                       blk((1, 16, ray_tile))],
+                       blk((1, 16, ray_tile)), blk((1, 1, ray_tile))],
         )
-        t_b, best, rows_k = pl.pallas_call(
+        t_b, best, rows_k, wins_k = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.float32),
                 jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
                 jax.ShapeDtypeStruct((n_chunks, 16, ray_tile), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks, 1, ray_tile), jnp.int32),
             ],
             interpret=jax.default_backend() != "tpu",
         )(ids, ents, ct.ctype, phi, a3, gate3, ct.cols, ct.is_sphere,
